@@ -1,0 +1,169 @@
+"""Non-specialized Viterbi decoding on TPU.
+
+API parity target: ``Viterbi_impl::run_Viterbi(hmm, seq) -> Mod_prob_vec_t``
+(``Viterbi_impl/Viterbi_impl.h:6-11``): returns the final per-state −log2
+score vector. The recurrence (``CUSP_impl.cu:13-20``) is a ``lax.scan`` over
+observation symbols with a fused (min,+) matvec per step — the TPU-idiomatic
+shape of the reference's two sparse matvecs per step, with the
+emission-diagonal product folded into an elementwise add
+(``diag(e) ⊗ u = e + u`` in log space).
+
+Batched decode (our DP extension, SURVEY.md §2.9) advances all sequences of
+a dataset at once: ``U = V ⊗ A`` reads the transition operator from HBM once
+per step for the whole batch, which is the bandwidth-optimal formulation for
+the many-sequence workloads (``emit_50_3500_20.ess``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.ops import dispatch
+
+SUBLANE = 8  # f32 second-to-last-dim tile
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceHMM:
+    """HMM materialized as dense, lane-padded device arrays.
+
+    ``a_t`` is the transposed transition operator the recurrence multiplies
+    by (built like ``GraphBLAS_impl.cpp:38-45``); ``a`` is the untransposed
+    matrix used by the batched right-multiplication form. Padding states
+    carry +inf everywhere, so they stay at the semiring zero through any
+    number of steps and are sliced off on extraction (the reference likewise
+    fills absent entries with inf, ``GraphBLAS_helper.cpp:65-68``).
+    """
+
+    a_t: jax.Array  # [Np, Np]
+    a: jax.Array  # [Np, Np]
+    pi: jax.Array  # [Np]
+    emissions: jax.Array  # [E, Np]
+    states_num: int
+    padded: int
+
+    @classmethod
+    def from_hmm(cls, hmm: HMM, pad: bool = True) -> "DeviceHMM":
+        np_states = pad_to_lane(hmm.states_num) if pad else hmm.states_num
+        a = hmm.transition_matrix(pad_to=np_states)
+        return cls(
+            a_t=jnp.asarray(a.T.copy()),
+            a=jnp.asarray(a),
+            pi=jnp.asarray(hmm.start_vector(pad_to=np_states)),
+            emissions=jnp.asarray(hmm.emission_matrix(pad_to=np_states)),
+            states_num=hmm.states_num,
+            padded=np_states,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _decode_scores(a_t, pi, em, seq, use_pallas: bool):
+    v0 = em[seq[0]] + pi
+
+    def step(v, o):
+        u = dispatch.step_mv(a_t, v, use_pallas)
+        return em[o] + u, None
+
+    v, _ = jax.lax.scan(step, v0, seq[1:])
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _decode_scores_and_path(a_t, pi, em, seq, use_pallas: bool):
+    v0 = em[seq[0]] + pi
+
+    def step(v, o):
+        u, idx = dispatch.step_mv_argmin(a_t, v, use_pallas)
+        return em[o] + u, idx
+
+    v, ptrs = jax.lax.scan(step, v0, seq[1:])  # ptrs: [T-1, Np]
+
+    last = jnp.argmin(v).astype(jnp.int32)
+
+    def back(state, ptr_row):
+        prev = ptr_row[state]
+        return prev, prev
+
+    _, rev_path = jax.lax.scan(back, last, ptrs, reverse=True)
+    path = jnp.concatenate([rev_path, last[None]])
+    return v, path
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
+    """seqs: [B, Tmax] int32 (padded), lengths: [B]. Returns [B, Np]."""
+    v = em[seqs[:, 0]] + pi[None, :]
+
+    def step(carry, xs):
+        o_t, t = xs
+        u = dispatch.batch_step(carry, a, use_pallas)
+        v_new = em[o_t] + u
+        keep = (t < lengths)[:, None]
+        return jnp.where(keep, v_new, carry), None
+
+    ts = jnp.arange(1, seqs.shape[1])
+    v, _ = jax.lax.scan(step, v, (seqs[:, 1:].T, ts))
+    return v
+
+
+class ViterbiDecoder:
+    """Non-specialized decoder; the TPU counterpart of the reference's
+    ``*_impl`` classes (one class instead of three backends — the jnp/Pallas
+    split is handled by the op dispatcher)."""
+
+    def __init__(self, hmm: HMM, use_pallas: bool | None = None, pad: bool = True):
+        self.hmm = hmm
+        self.dev = DeviceHMM.from_hmm(hmm, pad=pad)
+        self.use_pallas = (
+            dispatch.default_use_pallas() if use_pallas is None else use_pallas
+        )
+
+    def decode(self, seq: np.ndarray) -> np.ndarray:
+        """``run_Viterbi`` parity: final score vector for one sequence."""
+        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        v = _decode_scores(
+            self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
+        )
+        return np.asarray(v[: self.dev.states_num])
+
+    def decode_path(self, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(scores, path) — backtrace extension (not in the reference)."""
+        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        v, path = _decode_scores_and_path(
+            self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
+        )
+        return np.asarray(v[: self.dev.states_num]), np.asarray(path)
+
+    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Decode a set of sequences as one batched device program.
+
+        Pads the batch to the f32 sublane (8) and sequences to the max
+        length; per-sequence masking freezes finished lanes so results are
+        identical to one-at-a-time decoding.
+        """
+        if not seqs:
+            return []
+        b = len(seqs)
+        b_pad = ((b + SUBLANE - 1) // SUBLANE) * SUBLANE
+        t_max = max(len(s) for s in seqs)
+        batch = np.zeros((b_pad, t_max), dtype=np.int32)
+        lengths = np.zeros(b_pad, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : len(s)] = s
+            lengths[i] = len(s)
+        v = _decode_scores_batch(
+            self.dev.a,
+            self.dev.pi,
+            self.dev.emissions,
+            jnp.asarray(batch),
+            jnp.asarray(lengths),
+            self.use_pallas,
+        )
+        v = np.asarray(v)
+        return [v[i, : self.dev.states_num] for i in range(b)]

@@ -1,0 +1,176 @@
+"""HMM specialization: precomputed (min,+) operators, level-L tuple operators.
+
+API parity target: ``Viterbi_spec_impl`` (``Viterbi_impl/Viterbi_spec_impl.h:6-24``):
+``spec_with(hmm)`` (re-specializable), ``run_Viterbi_spec(seq)``,
+``get_level()``.
+
+Level-1 specialization precomputes, per observation symbol ``o``:
+
+- ``start_ops[o] = diag(emit_o) ⊗ π``   (N-vector;   GraphBLAS_spec_impl.cpp:142-150)
+- ``ops[o]       = diag(emit_o) ⊗ Aᵀ``  (N×N matrix; GraphBLAS_spec_impl.cpp:152-161)
+
+In log space the diagonal product is a row-wise add, so the whole level-1
+stack is one broadcast: ``ops = emissions[:, :, None] + Aᵀ[None]``.
+
+Level L > 1 exploits (min,+) matmul associativity to collapse L consecutive
+steps into one operator per observation L-tuple. The reference stores
+``emit_num^L`` matrices in a hash map keyed by symbol tuples
+(``GraphBLAS_spec_impl.h:10``, ``.cpp:15-36``); the TPU-idiomatic equivalent
+is a dense ``[emit_num^L, N, N]`` tensor indexed by the radix-``emit_num``
+encoding of the tuple (earliest symbol = least-significant digit), built by
+one batched tropical matmul per level:
+
+    T_l[p + i·E^(l-1)] = ops[i] ⊗ T_{l-1}[p]        (add_level, .cpp:15-36)
+
+Decode consumes ``seq[1:]`` in chunks of ``level`` via one matvec per chunk
+and finishes the remainder with level-1 operators, exactly like the
+reference's tail loop (``GraphBLAS_spec_impl.cpp:64-89``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.ops import dispatch
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _build_level1(a_t, pi, em, use_pallas: bool):
+    start_ops = em + pi[None, :]  # [E, Np]
+    ops = em[:, :, None] + a_t[None, :, :]  # [E, Np, Np]
+    return start_ops, ops
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _add_level(ops, t_prev, use_pallas: bool):
+    """[E, N, N] ⊗ [P, N, N] → [P·E, N, N] with index p + i·P semantics.
+
+    Output ordering matches the radix encoding: new symbol ``i`` is the
+    most-significant digit (it is applied last in time).
+    """
+    e = ops.shape[0]
+    p = t_prev.shape[0]
+
+    def per_symbol(op_i):
+        return jax.vmap(lambda tp: dispatch.matmul(op_i, tp, use_pallas))(t_prev)
+
+    t_next = jax.lax.map(per_symbol, ops)  # [E, P, N, N]
+    return t_next.reshape(e * p, *t_prev.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("level", "emit_num", "use_pallas"))
+def _decode_spec(start_ops, ops, tuple_ops, seq, level: int, emit_num: int, use_pallas: bool):
+    """Chunked specialized decode with tail handling.
+
+    seq: [T] int32. The first symbol consumes ``start_ops``; the remaining
+    T−1 symbols are consumed ``level`` at a time through ``tuple_ops``; the
+    final ``(T−1) mod level`` symbols go through level-1 ``ops``
+    (GraphBLAS_spec_impl.cpp:50-89).
+    """
+    v = start_ops[seq[0]]
+    rest = seq[1:]
+    t_rest = rest.shape[0]
+    n_full = t_rest // level
+    tail = t_rest - n_full * level
+
+    if n_full > 0:
+        chunks = rest[: n_full * level].reshape(n_full, level)
+        radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
+        idxs = jnp.sum(chunks * radix[None, :], axis=1)
+
+        def chunk_step(v, idx):
+            m = tuple_ops[idx]
+            return dispatch.step_mv(m, v, use_pallas), None
+
+        v, _ = jax.lax.scan(chunk_step, v, idxs)
+
+    if tail > 0:
+        def tail_step(v, o):
+            return dispatch.step_mv(ops[o], v, use_pallas), None
+
+        v, _ = jax.lax.scan(tail_step, v, rest[n_full * level :])
+
+    return v
+
+
+class SpecializedViterbi:
+    """Re-specializable specialized decoder (``Viterbi_spec_impl`` parity).
+
+    ``level`` is the number of observation handlers combined into one
+    operator (``Viterbi_spec_impl.h:20-23``). Memory for tuple operators is
+    ``emit_num^level · Np² · 4`` bytes — the same wall that limits the
+    reference's GPU backends to level 1 on the 20-symbol corpus
+    (``bench_Viterbi_spec.h:37-47``); :meth:`spec_memory_bytes` lets callers
+    apply the same policy deliberately.
+    """
+
+    def __init__(self, level: int = 1, use_pallas: bool | None = None, pad: bool = True):
+        if level < 1:
+            raise ValueError("level must be >= 1 (Viterbi_spec_impl.h:20-23)")
+        self.level = level
+        self.pad = pad
+        self.use_pallas = (
+            dispatch.default_use_pallas() if use_pallas is None else use_pallas
+        )
+        self._specialized = False
+        self.start_ops = None  # [E, Np]
+        self.ops = None  # [E, Np, Np]
+        self.tuple_ops = None  # [E^level, Np, Np]
+        self.states_num = 0
+        self.emit_num = 0
+
+    def get_level(self) -> int:
+        return self.level
+
+    @staticmethod
+    def spec_memory_bytes(states_num: int, emit_num: int, level: int) -> int:
+        np_states = pad_to_lane(states_num)
+        return (emit_num**level) * np_states * np_states * 4
+
+    def spec_with(self, hmm: HMM) -> None:
+        """(Re)build all specialized operators for ``hmm``.
+
+        Mirrors ``spec_with = deleter(); initializer(hmm, level)``
+        (``GraphBLAS_spec_impl.cpp:45-48``): previous operators are dropped
+        before the new ones are built.
+        """
+        self._specialized = False
+        self.start_ops = self.ops = self.tuple_ops = None
+
+        np_states = pad_to_lane(hmm.states_num) if self.pad else hmm.states_num
+        a_t = jnp.asarray(hmm.transposed_transition_matrix(pad_to=np_states))
+        pi = jnp.asarray(hmm.start_vector(pad_to=np_states))
+        em = jnp.asarray(hmm.emission_matrix(pad_to=np_states))
+
+        start_ops, ops = _build_level1(a_t, pi, em, self.use_pallas)
+        tuple_ops = ops
+        for _ in range(self.level - 1):
+            tuple_ops = _add_level(ops, tuple_ops, self.use_pallas)
+
+        self.start_ops = start_ops
+        self.ops = ops
+        self.tuple_ops = tuple_ops
+        self.states_num = hmm.states_num
+        self.emit_num = hmm.emit_num
+        self._specialized = True
+
+    def run_spec(self, seq: np.ndarray) -> np.ndarray:
+        """``run_Viterbi_spec`` parity: final score vector for one sequence."""
+        if not self._specialized:
+            raise RuntimeError("call spec_with(hmm) before run_spec(seq)")
+        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        v = _decode_spec(
+            self.start_ops,
+            self.ops,
+            self.tuple_ops,
+            seq,
+            self.level,
+            self.emit_num,
+            self.use_pallas,
+        )
+        return np.asarray(v[: self.states_num])

@@ -1,0 +1,141 @@
+"""Pallas TPU kernels for tropical (min,+) linear algebra.
+
+The (min,+) semiring cannot use the MXU (the systolic array only does
+multiply-accumulate), so these kernels live on the VPU and are designed to be
+HBM-bandwidth-optimal: 128-aligned blocks, operands streamed through VMEM
+once, min-accumulation in VMEM scratch-free form via grid-revisited output
+blocks.
+
+Kernel inventory (reference ops they replace — see SURVEY.md §2):
+
+- :func:`tropical_mv` — the decode-step matvec, the hot op of
+  ``run_Viterbi`` / ``run_Viterbi_spec`` (``CUSP_impl.cu:16-20``).
+- :func:`tropical_mv_argmin` — matvec + argmin backpointers (backtrace
+  extension; ties to lowest index).
+- :func:`tropical_matmul` — SRGEMM equivalent of cuASR's
+  ``Srgemm<minimum, plus>`` (``cuASR_helper.cu:65-73``); used for batched
+  decode ([B,N] ⊗ [N,N]) and for specialization operator products
+  (``add_level``, ``GraphBLAS_spec_impl.cpp:15-36``).
+
+All shapes must be multiples of (8, 128) f32 tiles; ``DeviceHMM`` pads the
+state dimension to 128 lanes and batch dims are padded to 8 sublanes by the
+callers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = jnp.inf
+
+# Block sizes for the matmul kernel. K is consumed in sub-chunks to bound the
+# [BI, K_INNER, BJ] broadcast temp in VMEM (128·8·128·4B = 512 KiB).
+BI = 128
+BJ = 128
+BK = 128
+K_INNER = 8
+
+
+def _mv_kernel(m_ref, v_ref, o_ref):
+    # m_ref: [BI, N] row band; v_ref: [1, N] full; o_ref: [1, BI]
+    o_ref[0, :] = jnp.min(m_ref[:] + v_ref[0, :][None, :], axis=1)
+
+
+@jax.jit
+def tropical_mv(M: jax.Array, v: jax.Array) -> jax.Array:
+    """``min_j M[i,j] + v[j]`` — one decode step. M: [N, N], v: [N]."""
+    n, k = M.shape
+    v2 = v.reshape(1, k)
+    out = pl.pallas_call(
+        _mv_kernel,
+        grid=(n // BI,),
+        in_specs=[
+            pl.BlockSpec((BI, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BI), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), M.dtype),
+    )(M, v2)
+    return out.reshape(n)
+
+
+def _mv_argmin_kernel(m_ref, v_ref, o_ref, idx_ref):
+    s = m_ref[:] + v_ref[0, :][None, :]
+    o_ref[0, :] = jnp.min(s, axis=1)
+    idx_ref[0, :] = jnp.argmin(s, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def tropical_mv_argmin(M: jax.Array, v: jax.Array):
+    """Decode step returning (scores, argmin backpointers)."""
+    n, k = M.shape
+    v2 = v.reshape(1, k)
+    out, idx = pl.pallas_call(
+        _mv_argmin_kernel,
+        grid=(n // BI,),
+        in_specs=[
+            pl.BlockSpec((BI, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BI), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BI), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), M.dtype),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+    )(M, v2)
+    return out.reshape(n), idx.reshape(n)
+
+
+def _mm_kernel(a_ref, b_ref, c_ref, *, k_steps):
+    # Grid (i, j, k); k is innermost so the output block stays resident while
+    # the min accumulates across K.
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        c_ref[:] = jnp.full(c_ref.shape, INF, dtype=c_ref.dtype)
+
+    def body(s, acc):
+        a = a_ref[:, pl.ds(s * K_INNER, K_INNER)]          # [BI, K_INNER]
+        b = b_ref[pl.ds(s * K_INNER, K_INNER), :]          # [K_INNER, BJ]
+        return jnp.minimum(acc, jnp.min(a[:, :, None] + b[None, :, :], axis=1))
+
+    c_ref[:] = jax.lax.fori_loop(0, k_steps, body, c_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bi",))
+def tropical_matmul(A: jax.Array, B: jax.Array, bi: int = BI) -> jax.Array:
+    """``min_k A[i,k] + B[k,j]`` — tropical SRGEMM. A: [I, K], B: [K, J].
+
+    I must be a multiple of 8 (f32 sublane), K and J multiples of 128.
+    ``bi`` lets small-I callers (batched decode with B < 128) shrink the
+    row block.
+    """
+    i_dim, k_dim = A.shape
+    k2, j_dim = B.shape
+    assert k_dim == k2, (A.shape, B.shape)
+    bi = min(bi, i_dim)
+    assert i_dim % bi == 0 and k_dim % BK == 0 and j_dim % BJ == 0, (
+        A.shape,
+        B.shape,
+        bi,
+    )
+    grid = (i_dim // bi, j_dim // BJ, k_dim // BK)
+    return pl.pallas_call(
+        functools.partial(_mm_kernel, k_steps=BK // K_INNER),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bi, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BJ), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bi, BJ), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((i_dim, j_dim), A.dtype),
+    )(A, B)
