@@ -97,19 +97,25 @@ def _decode_scores_and_path(a_t, pi, em, seq, use_pallas: bool):
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
-    """seqs: [B, Tmax] int32 (padded), lengths: [B]. Returns [B, Np]."""
-    v = em[seqs[:, 0]] + pi[None, :]
+    """seqs: [B, Tmax] int32 (padded), lengths: [B]. Returns [B, Np].
+
+    The carry is kept state-major ([Np, B]) so each step is one TN tropical
+    matmul that reads the transition operator from HBM exactly once for the
+    whole batch — the bandwidth-optimal DP formulation.
+    """
+    em_t = em.T  # [Np, E]
+    v_t = em_t[:, seqs[:, 0]] + pi[:, None]
 
     def step(carry, xs):
         o_t, t = xs
-        u = dispatch.batch_step(carry, a, use_pallas)
-        v_new = em[o_t] + u
-        keep = (t < lengths)[:, None]
+        u_t = dispatch.batch_step_t(a, carry, use_pallas)
+        v_new = em_t[:, o_t] + u_t
+        keep = (t < lengths)[None, :]
         return jnp.where(keep, v_new, carry), None
 
     ts = jnp.arange(1, seqs.shape[1])
-    v, _ = jax.lax.scan(step, v, (seqs[:, 1:].T, ts))
-    return v
+    v_t, _ = jax.lax.scan(step, v_t, (seqs[:, 1:].T, ts))
+    return v_t.T
 
 
 class ViterbiDecoder:
@@ -150,7 +156,10 @@ class ViterbiDecoder:
         if not seqs:
             return []
         b = len(seqs)
-        b_pad = ((b + SUBLANE - 1) // SUBLANE) * SUBLANE
+        # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
+        # path only needs the f32 sublane.
+        lane = 128 if self.use_pallas else SUBLANE
+        b_pad = ((b + lane - 1) // lane) * lane
         t_max = max(len(s) for s in seqs)
         batch = np.zeros((b_pad, t_max), dtype=np.int32)
         lengths = np.zeros(b_pad, dtype=np.int32)

@@ -47,19 +47,23 @@ def _build_level1(a_t, pi, em, use_pallas: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _add_level(ops, t_prev, use_pallas: bool):
-    """[E, N, N] ⊗ [P, N, N] → [P·E, N, N] with index p + i·P semantics.
+def _add_level(ops_t, t_prev, use_pallas: bool):
+    """ops ⊗ t_prev: [E, N, N] ⊗ [P, N, N] → [E·P, N, N].
 
-    Output ordering matches the radix encoding: new symbol ``i`` is the
-    most-significant digit (it is applied last in time).
+    ``ops_t`` is the level-1 stack with each operator transposed (TN matmul
+    layout). Output ordering matches the radix encoding: new symbol ``i`` is
+    the most-significant digit (it is applied last in time), i.e. the result
+    index is ``p + i·P``.
     """
-    e = ops.shape[0]
+    e = ops_t.shape[0]
     p = t_prev.shape[0]
 
-    def per_symbol(op_i):
-        return jax.vmap(lambda tp: dispatch.matmul(op_i, tp, use_pallas))(t_prev)
+    def per_symbol(op_i_t):
+        return jax.vmap(lambda tp: dispatch.matmul_tn(op_i_t, tp, use_pallas))(
+            t_prev
+        )
 
-    t_next = jax.lax.map(per_symbol, ops)  # [E, P, N, N]
+    t_next = jax.lax.map(per_symbol, ops_t)  # [E, P, N, N]
     return t_next.reshape(e * p, *t_prev.shape[1:])
 
 
@@ -149,8 +153,10 @@ class SpecializedViterbi:
 
         start_ops, ops = _build_level1(a_t, pi, em, self.use_pallas)
         tuple_ops = ops
-        for _ in range(self.level - 1):
-            tuple_ops = _add_level(ops, tuple_ops, self.use_pallas)
+        if self.level > 1:
+            ops_t = jnp.transpose(ops, (0, 2, 1))
+            for _ in range(self.level - 1):
+                tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
 
         self.start_ops = start_ops
         self.ops = ops

@@ -6,6 +6,7 @@ from spec_viterbi_tpu.ops.tropical import (
     tropical_mm,
     tropical_mv_argmin,
     tropical_mm_blocked,
+    tropical_mm_tn_blocked,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "tropical_mm",
     "tropical_mv_argmin",
     "tropical_mm_blocked",
+    "tropical_mm_tn_blocked",
 ]

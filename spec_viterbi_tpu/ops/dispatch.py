@@ -39,19 +39,26 @@ def step_mv_argmin(a_t: jax.Array, v: jax.Array, use_pallas: bool):
     return tropical.tropical_mv_argmin(a_t, v)
 
 
-def batch_step(V: jax.Array, a: jax.Array, use_pallas: bool) -> jax.Array:
-    """Batched step: U[b,i] = min_j V[b,j] + a[j,i] (a is untransposed)."""
+def batch_step_t(
+    a: jax.Array, v_t: jax.Array, use_pallas: bool
+) -> jax.Array:
+    """Batched step on a state-major carry: U_T[i,b] = min_j a[j,i] + v_t[j,b].
+
+    ``a`` is the *untransposed* transition matrix: in the TN kernel form
+    ``C[i,j] = min_k AT[k,i] + B[k,j]`` it already plays the AT role, so no
+    per-step transpose is needed anywhere in the scan.
+    """
     if use_pallas:
         from spec_viterbi_tpu.ops import pallas_kernels
 
-        return pallas_kernels.tropical_matmul(V, a)
-    return tropical.tropical_mm_blocked(V, a)
+        return pallas_kernels.tropical_matmul_tn(a, v_t)
+    return tropical.tropical_mm_tn_blocked(a, v_t)
 
 
-def matmul(A: jax.Array, B: jax.Array, use_pallas: bool) -> jax.Array:
-    """Full tropical matmul, used by the specialization (add_level) path."""
+def matmul_tn(AT: jax.Array, B: jax.Array, use_pallas: bool) -> jax.Array:
+    """TN tropical matmul, used by the specialization (add_level) path."""
     if use_pallas:
         from spec_viterbi_tpu.ops import pallas_kernels
 
-        return pallas_kernels.tropical_matmul(A, B)
-    return tropical.tropical_mm_blocked(A, B)
+        return pallas_kernels.tropical_matmul_tn(AT, B)
+    return tropical.tropical_mm_tn_blocked(AT, B)

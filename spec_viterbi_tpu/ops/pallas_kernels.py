@@ -94,48 +94,58 @@ def tropical_mv_argmin(M: jax.Array, v: jax.Array):
     return out.reshape(n), idx.reshape(n)
 
 
-def _mm_kernel(a_ref, b_ref, c_ref, *, k_steps):
-    # Grid (i, j, k); k is innermost so the output block stays resident while
-    # the min accumulates across K.
+def _mm_tn_kernel(at_ref, b_ref, c_ref, *, k_steps):
+    # Grid (i, j, k); k innermost so the output block stays resident while
+    # the min accumulates across K. Both operands are sliced along their
+    # leading (sublane) dim — Mosaic requires lane-dim offsets to be
+    # 128-aligned, which is why A arrives transposed.
     @pl.when(pl.program_id(2) == 0)
     def _init():
         c_ref[:] = jnp.full(c_ref.shape, INF, dtype=c_ref.dtype)
 
     def body(s, acc):
-        a = a_ref[:, pl.ds(s * K_INNER, K_INNER)]          # [BI, K_INNER]
+        at = at_ref[pl.ds(s * K_INNER, K_INNER), :]        # [K_INNER, BI]
         b = b_ref[pl.ds(s * K_INNER, K_INNER), :]          # [K_INNER, BJ]
-        return jnp.minimum(acc, jnp.min(a[:, :, None] + b[None, :, :], axis=1))
+        return jnp.minimum(acc, jnp.min(at[:, :, None] + b[:, None, :], axis=0))
 
     c_ref[:] = jax.lax.fori_loop(0, k_steps, body, c_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("bi",))
-def tropical_matmul(A: jax.Array, B: jax.Array, bi: int = BI) -> jax.Array:
-    """``min_k A[i,k] + B[k,j]`` — tropical SRGEMM. A: [I, K], B: [K, J].
+@jax.jit
+def tropical_matmul_tn(AT: jax.Array, B: jax.Array) -> jax.Array:
+    """``C[i,j] = min_k AT[k,i] + B[k,j]`` — tropical SRGEMM, lhs stored
+    transposed (BLAS "TN"). AT: [K, I], B: [K, J]; all dims multiples of 128.
 
-    I must be a multiple of 8 (f32 sublane), K and J multiples of 128.
-    ``bi`` lets small-I callers (batched decode with B < 128) shrink the
-    row block.
+    The TN layout is free for our callers: the batched decoder carries its
+    score block state-major ([N, B]) so the carry itself is the B operand,
+    and the specializer keeps a transposed copy of the level-1 operator
+    stack.
     """
-    i_dim, k_dim = A.shape
+    k_dim, i_dim = AT.shape
     k2, j_dim = B.shape
-    assert k_dim == k2, (A.shape, B.shape)
-    bi = min(bi, i_dim)
-    assert i_dim % bi == 0 and k_dim % BK == 0 and j_dim % BJ == 0, (
-        A.shape,
+    assert k_dim == k2, (AT.shape, B.shape)
+    assert i_dim % BI == 0 and k_dim % BK == 0 and j_dim % BJ == 0, (
+        AT.shape,
         B.shape,
-        bi,
     )
-    grid = (i_dim // bi, j_dim // BJ, k_dim // BK)
+    grid = (i_dim // BI, j_dim // BJ, k_dim // BK)
     return pl.pallas_call(
-        functools.partial(_mm_kernel, k_steps=BK // K_INNER),
+        functools.partial(_mm_tn_kernel, k_steps=BK // K_INNER),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bi, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BI), lambda i, j, k: (k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((BK, BJ), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bi, BJ), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+            (BI, BJ), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((i_dim, j_dim), A.dtype),
-    )(A, B)
+        out_shape=jax.ShapeDtypeStruct((i_dim, j_dim), AT.dtype),
+    )(AT, B)
+
+
+@jax.jit
+def tropical_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """``min_k A[i,k] + B[k,j]``: convenience wrapper that transposes the
+    lhs outside the kernel (one XLA transpose; avoid in per-step loops by
+    calling :func:`tropical_matmul_tn` with pre-transposed data)."""
+    return tropical_matmul_tn(A.T, B)

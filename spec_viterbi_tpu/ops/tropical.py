@@ -81,3 +81,31 @@ def tropical_mm_blocked(
     init = jnp.full((I, J), jnp.inf, dtype=A.dtype)
     out, _ = jax.lax.scan(body, init, (a_chunks, b_chunks))
     return out
+
+
+def tropical_mm_tn_blocked(
+    AT: jax.Array, B: jax.Array, k_block: int = 8
+) -> jax.Array:
+    """TN tropical matmul: ``C[i,j] = min_k AT[k,i] + B[k,j]``.
+
+    jnp reference for the Pallas TN kernel; same chunked-K min accumulation.
+    """
+    K, I = AT.shape
+    K2, J = B.shape
+    assert K == K2, (AT.shape, B.shape)
+    if K % k_block != 0:
+        pad = k_block - K % k_block
+        AT = jnp.pad(AT, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        B = jnp.pad(B, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        K = K + pad
+
+    def body(c, ab):
+        at_chunk, b_chunk = ab  # [k_block, I], [k_block, J]
+        partial = jnp.min(at_chunk[:, :, None] + b_chunk[:, None, :], axis=0)
+        return jnp.minimum(c, partial), None
+
+    at_chunks = AT.reshape(K // k_block, k_block, I)
+    b_chunks = B.reshape(K // k_block, k_block, J)
+    init = jnp.full((I, J), jnp.inf, dtype=AT.dtype)
+    out, _ = jax.lax.scan(body, init, (at_chunks, b_chunks))
+    return out
