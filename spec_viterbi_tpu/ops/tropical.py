@@ -78,8 +78,10 @@ def tropical_mm_blocked(
 
     a_chunks = A.reshape(I, K // k_block, k_block).transpose(1, 0, 2)
     b_chunks = B.reshape(K // k_block, k_block, J)
-    init = jnp.full((I, J), jnp.inf, dtype=A.dtype)
-    out, _ = jax.lax.scan(body, init, (a_chunks, b_chunks))
+    # Init from the first chunk (not a fresh +inf fill) so the carry carries
+    # the operands' varying-axis types under shard_map.
+    init = jnp.min(a_chunks[0][:, :, None] + b_chunks[0][None, :, :], axis=1)
+    out, _ = jax.lax.scan(body, init, (a_chunks[1:], b_chunks[1:]))
     return out
 
 
@@ -106,6 +108,8 @@ def tropical_mm_tn_blocked(
 
     at_chunks = AT.reshape(K // k_block, k_block, I)
     b_chunks = B.reshape(K // k_block, k_block, J)
-    init = jnp.full((I, J), jnp.inf, dtype=AT.dtype)
-    out, _ = jax.lax.scan(body, init, (at_chunks, b_chunks))
+    # Init from the first chunk (not a fresh +inf fill) so the carry carries
+    # the operands' varying-axis types under shard_map.
+    init = jnp.min(at_chunks[0][:, :, None] + b_chunks[0][:, None, :], axis=0)
+    out, _ = jax.lax.scan(body, init, (at_chunks[1:], b_chunks[1:]))
     return out

@@ -1,0 +1,40 @@
+"""Mesh-parallel decoding: DP (batch), TP (state blocks), SP (time blocks).
+
+The reference has no distributed machinery (SURVEY.md §2.9); this package is
+the TPU-native scaling layer over `jax.sharding.Mesh` + `shard_map` with XLA
+collectives on ICI.
+"""
+
+from spec_viterbi_tpu.parallel.mesh import (
+    DATA_AXIS,
+    STATE_AXIS,
+    TIME_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from spec_viterbi_tpu.parallel.sharded import (
+    decode_batch_dp,
+    decode_batch_dp_tp,
+    decode_time_parallel,
+    decode_tp,
+    make_dp_tp_decode,
+    make_time_parallel_decode,
+    make_tp_decode,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "STATE_AXIS",
+    "TIME_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "decode_batch_dp",
+    "decode_batch_dp_tp",
+    "decode_time_parallel",
+    "decode_tp",
+    "make_dp_tp_decode",
+    "make_time_parallel_decode",
+    "make_tp_decode",
+]

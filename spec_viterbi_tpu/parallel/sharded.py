@@ -1,0 +1,358 @@
+"""Sharded Viterbi decoding over a device mesh (DP × TP × SP).
+
+The reference decodes one sequence at a time in a single process
+(``benchmark/bench_Viterbi.h:51-57``); everything in this module is the
+TPU-native scaling extension called for by SURVEY.md §2.9:
+
+- **DP** (``data`` axis): the batch of sequences is sharded; each device
+  runs the batched TN recurrence on its slice with zero per-step
+  communication. Natural fit for ``emit_50_3500_20.ess``.
+- **TP** (``state`` axis): the N×N (min,+) operator is column-blocked; the
+  score carry is state-sharded and each step all-gathers the carry over ICI
+  (the gather-based tropical matvec: N·4B per step per device).
+- **SP** (``time`` axis): observation time-blocks compose their operator
+  products ``⊗_{t∈block} M_{o_t}`` in parallel — the same associativity the
+  reference exploits for specialization (``README.md:9-13``) applied across
+  time — then the O(devices) block frontier is folded sequentially.
+  Block composition is O(N³·T/S) vs O(N²·T) serial matvecs, a scheduling
+  tradeoff the caller makes deliberately (SURVEY.md §5 long-context note).
+
+All functions are jit-compiled with `shard_map` inner bodies so XLA sees
+static shapes and explicit collectives (`all_gather`/`pmin`) that lower onto
+ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.models.decoder import DeviceHMM
+from spec_viterbi_tpu.ops import dispatch
+from spec_viterbi_tpu.parallel.mesh import DATA_AXIS, STATE_AXIS, TIME_AXIS
+
+
+# --------------------------------------------------------------------------
+# DP: batch-sharded decode (GSPMD — sharding constraints, XLA inserts nothing
+# per step because the batch axis is embarrassingly parallel)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",), donate_argnums=())
+def _dp_decode(a, pi, em_t, seqs_t, lengths, use_pallas: bool):
+    """seqs_t: [Tmax, B] time-major (already batch-sharded). Returns [B, Np].
+
+    Identical math to the single-device batched decoder; the batch (lane)
+    dimension of the carry inherits the input sharding, so each device
+    advances only its local sequences.
+    """
+    v_t = em_t[:, seqs_t[0]] + pi[:, None]
+
+    def step(carry, xs):
+        o_t, t = xs
+        u_t = dispatch.batch_step_t(a, carry, use_pallas)
+        v_new = em_t[:, o_t] + u_t
+        keep = (t < lengths)[None, :]
+        return jnp.where(keep, v_new, carry), None
+
+    ts = jnp.arange(1, seqs_t.shape[0])
+    v_t, _ = jax.lax.scan(step, v_t, (seqs_t[1:], ts))
+    return v_t.T
+
+
+def decode_batch_dp(
+    dev: DeviceHMM,
+    seqs: list[np.ndarray],
+    mesh: Mesh,
+    use_pallas: bool = False,
+) -> list[np.ndarray]:
+    """Data-parallel batched decode: sequences sharded over the ``data`` axis.
+
+    Pads the batch to a multiple of (data-axis size × lane) and each
+    sequence to the common max length; masking freezes finished lanes so
+    results equal one-at-a-time decoding.
+    """
+    if not seqs:
+        return []
+    d = mesh.shape[DATA_AXIS]
+    lane = 128 if use_pallas else 8
+    chunk = d * lane
+    b = len(seqs)
+    b_pad = ((b + chunk - 1) // chunk) * chunk
+    t_max = max(len(s) for s in seqs)
+    batch = np.zeros((b_pad, t_max), dtype=np.int32)
+    lengths = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        batch[i, : len(s)] = s
+        lengths[i] = len(s)
+
+    batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [Tmax, B]
+    len_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    seqs_t = jax.device_put(batch.T.copy(), batch_sh)
+    lengths_d = jax.device_put(jnp.asarray(lengths), len_sh)
+    a = jax.device_put(dev.a, repl)
+    pi = jax.device_put(dev.pi, repl)
+    em_t = jax.device_put(dev.emissions.T, repl)
+
+    v = np.asarray(_dp_decode(a, pi, em_t, seqs_t, lengths_d, use_pallas))
+    return [v[i, : dev.states_num] for i in range(b)]
+
+
+# --------------------------------------------------------------------------
+# TP: state-sharded decode (shard_map, explicit all_gather per step)
+# --------------------------------------------------------------------------
+
+
+def _tp_step_body(a_t_block, v_block, use_pallas: bool):
+    """One TP step: gather the carry, produce this device's output block.
+
+    a_t_block: [Nb, Np] — the row block of Aᵀ for this device's output
+    states. The all-gather moves Np·4 bytes per step over ICI.
+    """
+    v_full = jax.lax.all_gather(v_block, STATE_AXIS, tiled=True)  # [Np]
+    return dispatch.step_mv(a_t_block, v_full, use_pallas)  # [Nb]
+
+
+def make_tp_decode(mesh: Mesh, use_pallas: bool = False):
+    """Build a jitted state-sharded (TP) single-sequence decoder.
+
+    Partitioning: Aᵀ row-blocked over ``state`` (each device owns the rows
+    producing its output states), π / emissions / carry state-sharded the
+    same way. Per step: one all-gather of the N-float carry.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(STATE_AXIS, None),  # a_t  [Np, Np] row-blocked
+            P(STATE_AXIS),  # pi    [Np]
+            P(None, STATE_AXIS),  # em    [E, Np] state-blocked
+            P(),  # seq   [T] replicated
+        ),
+        out_specs=P(STATE_AXIS),
+    )
+    def tp_decode(a_t_block, pi_block, em_block, seq):
+        v = em_block[seq[0]] + pi_block
+
+        def step(v_block, o):
+            u = _tp_step_body(a_t_block, v_block, use_pallas)
+            return em_block[o] + u, None
+
+        v, _ = jax.lax.scan(step, v, seq[1:])
+        return v
+
+    return jax.jit(tp_decode)
+
+
+def decode_tp(
+    dev: DeviceHMM,
+    seq: np.ndarray,
+    mesh: Mesh,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """State-sharded decode of one sequence; returns the score vector."""
+    s = mesh.shape[STATE_AXIS]
+    if dev.padded % s != 0:
+        raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
+    fn = make_tp_decode(mesh, use_pallas)
+    seq_d = jnp.asarray(np.asarray(seq, dtype=np.int32))
+    v = fn(dev.a_t, dev.pi, dev.emissions, seq_d)
+    return np.asarray(v)[: dev.states_num]
+
+
+# --------------------------------------------------------------------------
+# DP × TP: batched decode sharded over both axes (the dryrun/multichip path)
+# --------------------------------------------------------------------------
+
+
+def make_dp_tp_decode(mesh: Mesh, use_pallas: bool = False):
+    """Batched decode with the batch on ``data`` and states on ``state``.
+
+    Layouts (TN form, state-major carry):
+      a     [Np, Np]  — A[j, i], columns (output states i) sharded
+      v_t   [Np, B]   — rows state-sharded, columns batch-sharded
+    Per step, each device all-gathers the carry over ``state`` only
+    (Np × B/D floats) and computes its [Nb, Bd] output block locally.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, STATE_AXIS),  # a     [Np, Np] col-blocked (output states)
+            P(STATE_AXIS),  # pi    [Np]
+            P(STATE_AXIS, None),  # em_t  [Np, E]
+            P(None, DATA_AXIS),  # seqs_t [Tmax, B]
+            P(DATA_AXIS),  # lengths [B]
+        ),
+        out_specs=P(DATA_AXIS, STATE_AXIS),
+    )
+    def dp_tp_decode(a_block, pi_block, em_t_block, seqs_t, lengths):
+        v_t = em_t_block[:, seqs_t[0]] + pi_block[:, None]  # [Nb, Bd]
+
+        def step(carry, xs):
+            o_t, t = xs
+            v_full = jax.lax.all_gather(carry, STATE_AXIS, tiled=True)  # [Np, Bd]
+            u_t = dispatch.matmul_tn(a_block, v_full, use_pallas)  # [Nb, Bd]
+            v_new = em_t_block[:, o_t] + u_t
+            keep = (t < lengths)[None, :]
+            return jnp.where(keep, v_new, carry), None
+
+        ts = jnp.arange(1, seqs_t.shape[0])
+        v_t, _ = jax.lax.scan(step, v_t, (seqs_t[1:], ts))
+        return v_t.T  # [Bd, Nb]
+
+    return jax.jit(dp_tp_decode)
+
+
+def decode_batch_dp_tp(
+    dev: DeviceHMM,
+    seqs: list[np.ndarray],
+    mesh: Mesh,
+    use_pallas: bool = False,
+) -> list[np.ndarray]:
+    """Batched decode sharded over ``data`` × ``state``."""
+    if not seqs:
+        return []
+    d = mesh.shape[DATA_AXIS]
+    s = mesh.shape[STATE_AXIS]
+    if dev.padded % s != 0:
+        raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
+    lane = 128 if use_pallas else 8
+    chunk = d * lane
+    b = len(seqs)
+    b_pad = ((b + chunk - 1) // chunk) * chunk
+    t_max = max(len(s_) for s_ in seqs)
+    batch = np.zeros((b_pad, t_max), dtype=np.int32)
+    lengths = np.zeros(b_pad, dtype=np.int32)
+    for i, s_ in enumerate(seqs):
+        batch[i, : len(s_)] = s_
+        lengths[i] = len(s_)
+
+    fn = make_dp_tp_decode(mesh, use_pallas)
+    v = np.asarray(
+        fn(
+            dev.a,
+            dev.pi,
+            jnp.asarray(dev.emissions).T,
+            jnp.asarray(batch.T.copy()),
+            jnp.asarray(lengths),
+        )
+    )
+    return [v[i, : dev.states_num] for i in range(b)]
+
+
+# --------------------------------------------------------------------------
+# SP: time-parallel decode via associative operator composition
+# --------------------------------------------------------------------------
+
+
+def _identity_op(n: int) -> np.ndarray:
+    """Tropical identity: 0 on the diagonal, +inf elsewhere."""
+    m = np.full((n, n), np.inf, dtype=np.float32)
+    np.fill_diagonal(m, 0.0)
+    return m
+
+
+def make_time_parallel_decode(mesh: Mesh, block_len: int, use_pallas: bool = False):
+    """Build a jitted time-parallel decoder.
+
+    Each ``time``-axis device owns a contiguous observation block and
+    composes its block operator ``M_block = M_{o_k} ⊗ … ⊗ M_{o_1}`` with a
+    local scan of tropical mat-mats (the reference's add_level algebra,
+    ``GraphBLAS_spec_impl.cpp:15-36``, applied across time instead of across
+    the alphabet). Block operators are then all-gathered (S·N²·4 bytes over
+    ICI, once per sequence — not per step) and folded into the start vector
+    with S matvecs.
+
+    ``ops`` must carry a trailing identity operator at index ``E`` so the
+    caller can pad sequences to ``S × block_len`` without changing results.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # ops   [E+1, Np, Np] replicated
+            P(),  # v0    [Np]
+            P(TIME_AXIS),  # obs   [T-1] time-blocked
+        ),
+        out_specs=P(),
+    )
+    def sp_decode(ops, v0, obs_block):
+        n = ops.shape[1]
+        eye = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
+            jnp.zeros((n, n), ops.dtype),
+            jnp.full((n, n), jnp.inf, ops.dtype),
+        )
+        # The scan consumes the device-varying obs block, so its carry must
+        # be typed as varying over the time axis too.
+        eye = jax.lax.pcast(eye, (TIME_AXIS,), to="varying")
+
+        def compose(m_acc, o):
+            # new step applies after the accumulated block: M_o ⊗ m_acc.
+            # TN form: C[i,j] = min_k (M_o)ᵀ[k,i] + m_acc[k,j]
+            return dispatch.matmul_tn(ops[o].T, m_acc, use_pallas), None
+
+        m_block, _ = jax.lax.scan(compose, eye, obs_block)
+        blocks = jax.lax.all_gather(m_block, TIME_AXIS)  # [S, Np, Np]
+
+        def fold(v, m):
+            return dispatch.step_mv(m, v, use_pallas), None
+
+        # `blocks` is typed varying post-all_gather; match the carry.
+        v0 = jax.lax.pcast(v0, (TIME_AXIS,), to="varying")
+        v, _ = jax.lax.scan(fold, v0, blocks)
+        # Every device folded identical gathered blocks; an all-reduce min
+        # is a numeric no-op that reclaims the replicated type for P().
+        return jax.lax.pmin(v, TIME_AXIS)
+
+    return jax.jit(sp_decode)
+
+
+def decode_time_parallel(
+    hmm: HMM,
+    seq: np.ndarray,
+    mesh: Mesh,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """Time-parallel decode of a single long sequence over the ``time`` axis.
+
+    Semantically identical to serial decode; compute cost is
+    O(N³·(T−1)/S) block composition vs O(N²·T) serial — the tradeoff is the
+    caller's scheduling decision (profitable for very long sequences on
+    small-N models, or when the time axis is otherwise idle).
+    """
+    s_axis = mesh.shape[TIME_AXIS]
+    np_states = pad_to_lane(hmm.states_num)
+    seq = np.asarray(seq, dtype=np.int32)
+    e = hmm.emit_num
+
+    a_t = hmm.transposed_transition_matrix(pad_to=np_states)
+    em = hmm.emission_matrix(pad_to=np_states)
+    pi = hmm.start_vector(pad_to=np_states)
+
+    # level-1 operators + trailing identity for padding
+    ops = np.concatenate(
+        [em[:, :, None] + a_t[None, :, :], _identity_op(np_states)[None]], axis=0
+    )
+
+    rest = seq[1:]
+    block = -(-len(rest) // s_axis)  # ceil
+    pad = s_axis * block - len(rest)
+    obs = np.concatenate([rest, np.full(pad, e, dtype=np.int32)])
+
+    v0 = em[seq[0]] + pi
+    fn = make_time_parallel_decode(mesh, block, use_pallas)
+    v = np.asarray(fn(jnp.asarray(ops), jnp.asarray(v0), jnp.asarray(obs)))
+    return v[: hmm.states_num]
