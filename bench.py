@@ -1,0 +1,77 @@
+"""Headline benchmark: decoded obs-symbols/s/chip on the 2405-state HMM.
+
+Decodes the `emit_50_3500_20` workload (50 sequences × 3,500 symbols)
+against `2405.chmm` (2,407 states — the largest reference model) with the
+batched TN tropical-matvec recurrence, median of BENCH_RUNS timed runs after
+a warmup (the reference's median-of-10 methodology,
+``benchmark/benchmark_helper.h:14,45-66``).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
+the speedup of the framework's Pallas kernel path over the plain XLA (jnp)
+path on the same chip — the internal "non-specialized library baseline".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BENCH_RUNS = 5
+CHMM = "/root/reference/chmm_files/2405.chmm"
+ESS = "/root/reference/ess_files/emit_50_3500_20.ess"
+
+
+def _median_time(fn, runs: int = BENCH_RUNS) -> float:
+    fn()  # warmup (compile)
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def main() -> None:
+    import jax
+
+    import spec_viterbi_tpu as svt
+    from spec_viterbi_tpu.models.decoder import DeviceHMM
+
+    hmm = svt.read_hmm(CHMM)
+    seqs = svt.read_emit_seq(ESS)
+    total_symbols = sum(len(s) for s in seqs)
+
+    results = {}
+    for use_pallas in (False, True):
+        if use_pallas and jax.default_backend() != "tpu":
+            continue
+        dec = svt.ViterbiDecoder(hmm, use_pallas=use_pallas)
+
+        def run(d=dec):
+            out = d.decode_batch(seqs)
+            np.asarray(out[-1])  # block on completion
+
+        t = _median_time(run)
+        results["pallas" if use_pallas else "xla"] = total_symbols / t
+
+    value = results.get("pallas", results["xla"])
+    vs = value / results["xla"]
+    print(
+        json.dumps(
+            {
+                "metric": "decoded_obs_symbols_per_s_per_chip_2405",
+                "value": round(value, 1),
+                "unit": "symbols/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
