@@ -25,6 +25,12 @@ import numpy as np
 
 from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.ops import dispatch
+from spec_viterbi_tpu.ops.structured import (
+    StructuredOperator,
+    structured_mv,
+    structured_mv_argmin,
+    structured_mv_batch,
+)
 
 SUBLANE = 8  # f32 second-to-last-dim tile
 
@@ -120,30 +126,123 @@ def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
 
 class ViterbiDecoder:
     """Non-specialized decoder; the TPU counterpart of the reference's
-    ``*_impl`` classes (one class instead of three backends — the jnp/Pallas
-    split is handled by the op dispatcher)."""
+    ``*_impl`` classes. Where the reference ships three backends
+    (GraphBLAS/CUSP/cuASR) this class exposes three execution modes that
+    cross-validate the same way:
 
-    def __init__(self, hmm: HMM, use_pallas: bool | None = None, pad: bool = True):
+    - ``"dense"``       — jnp/XLA dense tropical algebra (works anywhere),
+    - ``"pallas"``      — dense Pallas TPU kernels,
+    - ``"structured"``  — diagonal/row/col-decomposed operator
+      (:mod:`spec_viterbi_tpu.ops.structured`), O((D+R+C)·N) per step
+      instead of O(N²) — the TPU answer to the reference's sparse backends.
+
+    ``mode="auto"`` picks structured when the decomposition is effective
+    (cost ratio < 1/8 of dense), else pallas on TPU / dense elsewhere.
+    """
+
+    def __init__(
+        self,
+        hmm: HMM,
+        use_pallas: bool | None = None,
+        pad: bool = True,
+        mode: str = "auto",
+    ):
         self.hmm = hmm
         self.dev = DeviceHMM.from_hmm(hmm, pad=pad)
         self.use_pallas = (
             dispatch.default_use_pallas() if use_pallas is None else use_pallas
         )
+        if use_pallas is not None and mode == "auto":
+            # explicit use_pallas request overrides auto mode (back-compat)
+            mode = "pallas" if use_pallas else "dense"
+
+        self._sop = None
+        self._sop_arrs = None
+        if mode in ("auto", "structured"):
+            sop = StructuredOperator.from_hmm(hmm, pad_to=self.dev.padded)
+            if mode == "structured" or sop.cost_ratio() < 0.125:
+                self._sop = sop
+                self._sop_arrs = sop.device_arrays()
+                mode = "structured"
+            else:
+                mode = "pallas" if self.use_pallas else "dense"
+        self.mode = mode
+        self.use_pallas = mode == "pallas"
+        if mode == "structured":
+            self._build_structured_fns()
+
+    # ---- structured-mode jitted closures (static decomposition) ---------
+
+    def _build_structured_fns(self):
+        sop, arrs = self._sop, self._sop_arrs
+
+        @jax.jit
+        def decode(em, pi, seq):
+            v0 = em[seq[0]] + pi
+
+            def step(v, o):
+                return em[o] + structured_mv(sop, arrs, v), None
+
+            v, _ = jax.lax.scan(step, v0, seq[1:])
+            return v
+
+        @jax.jit
+        def decode_path(em, pi, seq):
+            v0 = em[seq[0]] + pi
+
+            def step(v, o):
+                u, idx = structured_mv_argmin(sop, arrs, v)
+                return em[o] + u, idx
+
+            v, ptrs = jax.lax.scan(step, v0, seq[1:])
+            last = jnp.argmin(v).astype(jnp.int32)
+
+            def back(state, ptr_row):
+                prev = ptr_row[state]
+                return prev, prev
+
+            _, rev_path = jax.lax.scan(back, last, ptrs, reverse=True)
+            return v, jnp.concatenate([rev_path, last[None]])
+
+        @jax.jit
+        def decode_batch(em_t, pi, seqs_t, lengths):
+            v_t = em_t[:, seqs_t[0]] + pi[:, None]
+
+            def step(carry, xs):
+                o_t, t = xs
+                u_t = structured_mv_batch(sop, arrs, carry)
+                v_new = em_t[:, o_t] + u_t
+                keep = (t < lengths)[None, :]
+                return jnp.where(keep, v_new, carry), None
+
+            ts = jnp.arange(1, seqs_t.shape[0])
+            v_t, _ = jax.lax.scan(step, v_t, (seqs_t[1:], ts))
+            return v_t.T
+
+        self._s_decode = decode
+        self._s_decode_path = decode_path
+        self._s_decode_batch = decode_batch
 
     def decode(self, seq: np.ndarray) -> np.ndarray:
         """``run_Viterbi`` parity: final score vector for one sequence."""
         seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
-        v = _decode_scores(
-            self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
-        )
+        if self.mode == "structured":
+            v = self._s_decode(self.dev.emissions, self.dev.pi, seq)
+        else:
+            v = _decode_scores(
+                self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
+            )
         return np.asarray(v[: self.dev.states_num])
 
     def decode_path(self, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(scores, path) — backtrace extension (not in the reference)."""
         seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
-        v, path = _decode_scores_and_path(
-            self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
-        )
+        if self.mode == "structured":
+            v, path = self._s_decode_path(self.dev.emissions, self.dev.pi, seq)
+        else:
+            v, path = _decode_scores_and_path(
+                self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
+            )
         return np.asarray(v[: self.dev.states_num]), np.asarray(path)
 
     def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
@@ -157,7 +256,7 @@ class ViterbiDecoder:
             return []
         b = len(seqs)
         # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
-        # path only needs the f32 sublane.
+        # paths only need the f32 sublane.
         lane = 128 if self.use_pallas else SUBLANE
         b_pad = ((b + lane - 1) // lane) * lane
         t_max = max(len(s) for s in seqs)
@@ -166,13 +265,21 @@ class ViterbiDecoder:
         for i, s in enumerate(seqs):
             batch[i, : len(s)] = s
             lengths[i] = len(s)
-        v = _decode_scores_batch(
-            self.dev.a,
-            self.dev.pi,
-            self.dev.emissions,
-            jnp.asarray(batch),
-            jnp.asarray(lengths),
-            self.use_pallas,
-        )
+        if self.mode == "structured":
+            v = self._s_decode_batch(
+                self.dev.emissions.T,
+                self.dev.pi,
+                jnp.asarray(batch.T.copy()),
+                jnp.asarray(lengths),
+            )
+        else:
+            v = _decode_scores_batch(
+                self.dev.a,
+                self.dev.pi,
+                self.dev.emissions,
+                jnp.asarray(batch),
+                jnp.asarray(lengths),
+                self.use_pallas,
+            )
         v = np.asarray(v)
         return [v[i, : self.dev.states_num] for i in range(b)]

@@ -1,0 +1,143 @@
+"""Structured-operator decomposition and decode vs the NumPy oracle.
+
+The structured path plays the role of the reference's sparse backends
+(GraphBLAS/CUSP) in the cross-validation matrix (SURVEY.md §4 tier 3).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CHMM_DIR, TEST_CHMMS, TEST_SEQS
+
+from spec_viterbi_tpu.hmm import HMM, almost_equal_vec, to_modified_prob_np
+from spec_viterbi_tpu.io import read_hmm, read_emit_seq
+from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+from spec_viterbi_tpu.models.oracle import viterbi_path_oracle, viterbi_scores_oracle
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+
+def _random_hmm(states, emit, deg, seed):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(states, dtype=np.int64), deg)
+    cols = rng.integers(0, states, size=states * deg).astype(np.int64)
+    probs = to_modified_prob_np(rng.uniform(0.05, 1.0, size=states * deg))
+    em = to_modified_prob_np(rng.uniform(0.05, 1.0, size=(emit, states)))
+    start_cols = np.arange(min(4, states), dtype=np.int64)
+    start_probs = to_modified_prob_np(rng.uniform(0.05, 1.0, size=start_cols.size))
+    return HMM(
+        states_num=states,
+        emit_num=emit,
+        trans_rows=rows,
+        trans_cols=cols,
+        trans_probs=probs,
+        emissions=em,
+        start_probabilities_cols=start_cols,
+        start_probabilities=start_probs,
+    )
+
+
+def test_corpus_decomposition_is_exact_and_compact():
+    """Every production model decomposes with zero residual and ≤5 parts."""
+    for name in ("100", "500", "1200", "2405"):
+        hmm = read_hmm(os.path.join(CHMM_DIR, f"{name}.chmm"))
+        sop = StructuredOperator.from_hmm(hmm)
+        assert sop.residual_nnz == 0, name
+        assert sop.num_components <= 5, (name, sop.num_components)
+        assert sop.cost_ratio() < 0.05, name
+
+
+def test_decomposition_random_hmm_reconstructs_matrix():
+    """diag ∪ rows ∪ cols ∪ residual reproduces the dense operator exactly."""
+    hmm = _random_hmm(64, 4, 3, seed=11)
+    n = hmm.padded_states
+    sop = StructuredOperator.from_hmm(hmm, pad_to=n)
+    dense = np.full((n, n), np.inf, dtype=np.float32)  # dense[dst, src] = Aᵀ
+    for k, d in enumerate(sop.diag_offsets):
+        for i in range(n):
+            j = i - d
+            if 0 <= j < n:
+                dense[i, j] = min(dense[i, j], sop.diag_vals[k, i])
+    for k, s in enumerate(sop.row_idx):
+        for i in range(n):
+            dense[i, s] = min(dense[i, s], sop.row_vals[k, i])
+    for k, c in enumerate(sop.col_idx):
+        for j in range(n):
+            dense[c, j] = min(dense[c, j], sop.col_vals[k, j])
+    for s, d, v in zip(sop.res_src, sop.res_dst, sop.res_vals):
+        dense[d, s] = min(dense[d, s], v)
+    want = hmm.transposed_transition_matrix(pad_to=n)
+    np.testing.assert_array_equal(dense, want)
+
+
+@pytest.mark.parametrize("name", ["100", "500"])
+def test_structured_decode_matches_oracle(name):
+    hmm = read_hmm(os.path.join(CHMM_DIR, f"{name}.chmm"))
+    rng = np.random.default_rng(5)
+    dec = ViterbiDecoder(hmm, mode="structured")
+    assert dec.mode == "structured"
+    for t in (1, 2, 63, 200):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        got = dec.decode(seq)
+        want = viterbi_scores_oracle(hmm, seq)
+        assert almost_equal_vec(got, want), t
+
+
+def test_structured_batch_matches_oracle():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    rng = np.random.default_rng(9)
+    dec = ViterbiDecoder(hmm, mode="structured")
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in (30, 77, 5)]
+    got = dec.decode_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
+def test_structured_path_matches_oracle_exactly():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    rng = np.random.default_rng(13)
+    dec = ViterbiDecoder(hmm, mode="structured")
+    for t in (2, 40, 111):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        scores, path = dec.decode_path(seq)
+        oscores, opath = viterbi_path_oracle(hmm, seq)
+        assert almost_equal_vec(scores, oscores)
+        assert np.array_equal(path, opath), t
+
+
+def test_structured_fixtures_with_unreachable_states(fixture_paths):
+    """The tiny fixtures exercise +inf rows and residual-COO handling."""
+    for chmm_path, ess_path in fixture_paths:
+        hmm = read_hmm(chmm_path)
+        seqs = read_emit_seq(ess_path)
+        dec = ViterbiDecoder(hmm, mode="structured")
+        for s in seqs:
+            got = dec.decode(s)
+            assert almost_equal_vec(got, viterbi_scores_oracle(hmm, s))
+            scores, path = dec.decode_path(s)
+            oscores, opath = viterbi_path_oracle(hmm, s)
+            assert almost_equal_vec(scores, oscores)
+            assert np.array_equal(path, opath)
+
+
+def test_random_hmm_structured_decode_with_residual():
+    """A random HMM (no exploitable structure) still decodes correctly via
+    the residual-COO slow path."""
+    hmm = _random_hmm(48, 5, 3, seed=21)
+    sop = StructuredOperator.from_hmm(hmm)
+    assert sop.residual_nnz > 0  # genuinely exercises the residual branch
+    rng = np.random.default_rng(2)
+    dec = ViterbiDecoder(hmm, mode="structured")
+    for t in (3, 17):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        assert almost_equal_vec(dec.decode(seq), viterbi_scores_oracle(hmm, seq))
+        scores, path = dec.decode_path(seq)
+        _, opath = viterbi_path_oracle(hmm, seq)
+        assert np.array_equal(path, opath)
+
+
+def test_auto_mode_selects_structured_on_corpus():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    dec = ViterbiDecoder(hmm)  # mode="auto"
+    assert dec.mode == "structured"
