@@ -46,17 +46,18 @@ def main() -> None:
     seqs = svt.read_emit_seq(ESS)
     total_symbols = sum(len(s) for s in seqs)
 
-    modes = ["dense", "structured"]
-    if jax.default_backend() == "tpu":
-        modes.insert(1, "pallas")
+    def block(out):
+        # On the axon tunnel, block_until_ready does not reliably wait for
+        # pure-XLA programs; a tiny D2H slice does.
+        return np.asarray(out[:1, :1])
 
     results = {}
-    for mode in modes:
+    for mode in ("dense", "structured"):
         dec = svt.ViterbiDecoder(hmm, mode=mode)
+        handle = dec.prepare_batch(seqs)
 
-        def run(d=dec):
-            out = d.decode_batch(seqs)
-            np.asarray(out[-1])  # block on completion
+        def run(d=dec, h=handle):
+            block(d.run_batch(h))
 
         results[mode] = total_symbols / _median_time(run)
 

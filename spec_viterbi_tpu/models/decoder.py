@@ -25,6 +25,7 @@ import numpy as np
 
 from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.ops import dispatch
+from spec_viterbi_tpu.ops import fused_pallas
 from spec_viterbi_tpu.ops.structured import (
     StructuredOperator,
     structured_mv,
@@ -168,8 +169,17 @@ class ViterbiDecoder:
                 mode = "pallas" if self.use_pallas else "dense"
         self.mode = mode
         self.use_pallas = mode == "pallas"
+        self._fused = None
         if mode == "structured":
             self._build_structured_fns()
+            # On TPU, regular-enough operators get the fused whole-sequence
+            # Pallas kernel for batched scoring.
+            if jax.default_backend() == "tpu" and fused_pallas.fused_eligible(self._sop):
+                self._fused = fused_pallas.FusedStructuredDecoder(
+                    self._sop,
+                    hmm.emission_matrix(pad_to=self.dev.padded),
+                    hmm.start_vector(pad_to=self.dev.padded),
+                )
 
     # ---- structured-mode jitted closures (static decomposition) ---------
 
@@ -225,6 +235,8 @@ class ViterbiDecoder:
 
     def decode(self, seq: np.ndarray) -> np.ndarray:
         """``run_Viterbi`` parity: final score vector for one sequence."""
+        if self._fused is not None:
+            return self.decode_batch([np.asarray(seq)])[0]
         seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
         if self.mode == "structured":
             v = self._s_decode(self.dev.emissions, self.dev.pi, seq)
@@ -245,15 +257,16 @@ class ViterbiDecoder:
             )
         return np.asarray(v[: self.dev.states_num]), np.asarray(path)
 
-    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
-        """Decode a set of sequences as one batched device program.
+    def prepare_batch(self, seqs: list[np.ndarray]):
+        """Pad and transfer a batch once; returns a device-side handle.
 
-        Pads the batch to the f32 sublane (8) and sequences to the max
-        length; per-sequence masking freezes finished lanes so results are
-        identical to one-at-a-time decoding.
+        Splitting prepare from run lets callers amortize host↔device
+        transfer across repeated decodes (the benchmark's timed unit is
+        then pure device compute, mirroring the reference whose sequence
+        symbols live in host RAM outside the timed loop).
         """
-        if not seqs:
-            return []
+        if self._fused is not None:
+            return self._fused.prepare(seqs)
         b = len(seqs)
         # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
         # paths only need the f32 sublane.
@@ -266,20 +279,31 @@ class ViterbiDecoder:
             batch[i, : len(s)] = s
             lengths[i] = len(s)
         if self.mode == "structured":
-            v = self._s_decode_batch(
-                self.dev.emissions.T,
-                self.dev.pi,
-                jnp.asarray(batch.T.copy()),
-                jnp.asarray(lengths),
+            return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
+        return jnp.asarray(batch), jnp.asarray(lengths)
+
+    def run_batch(self, handle) -> "jax.Array":
+        """Decode a prepared batch; returns [B, Np] device scores."""
+        seqs_d, lengths_d = handle
+        if self._fused is not None:
+            return self._fused.run_prepared(seqs_d, lengths_d)
+        if self.mode == "structured":
+            return self._s_decode_batch(
+                self.dev.emissions.T, self.dev.pi, seqs_d, lengths_d
             )
-        else:
-            v = _decode_scores_batch(
-                self.dev.a,
-                self.dev.pi,
-                self.dev.emissions,
-                jnp.asarray(batch),
-                jnp.asarray(lengths),
-                self.use_pallas,
-            )
-        v = np.asarray(v)
-        return [v[i, : self.dev.states_num] for i in range(b)]
+        return _decode_scores_batch(
+            self.dev.a, self.dev.pi, self.dev.emissions, seqs_d, lengths_d,
+            self.use_pallas,
+        )
+
+    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Decode a set of sequences as one batched device program.
+
+        Pads the batch (and sequences to the max length); per-sequence
+        masking freezes finished lanes so results are identical to
+        one-at-a-time decoding.
+        """
+        if not seqs:
+            return []
+        v = np.asarray(self.run_batch(self.prepare_batch(seqs)))
+        return [v[i, : self.dev.states_num] for i in range(len(seqs))]

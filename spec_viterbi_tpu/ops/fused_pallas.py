@@ -1,0 +1,223 @@
+"""Fused whole-sequence structured Viterbi kernel (Pallas TPU).
+
+The XLA structured path (:mod:`spec_viterbi_tpu.ops.structured`) still pays
+per-step dispatch overhead inside `lax.scan` (~tens of µs/step). This kernel
+runs the ENTIRE T-step recurrence as one `pallas_call` with the score carry
+resident in VMEM:
+
+- grid = (batch_blocks, T−1), time innermost — Mosaic executes the grid
+  sequentially, so the output block doubles as the carry and is flushed to
+  HBM once per batch block;
+- the structured operator (diagonal/row/col vectors) and the emission table
+  live in VMEM for the whole decode — zero HBM traffic in the loop except
+  the observation one-hots (16 KB/step, auto double-buffered by the Mosaic
+  pipeline);
+- per-step emission selection `em[:, o_t[b]]` is a lane-wise gather, which
+  the VPU cannot do — it is instead computed on the **MXU** as
+  `em_clamped @ onehot(o_t)`, the one place the systolic array helps a
+  (min,+) workload. `+inf` cannot enter a matmul (`inf·0 = NaN`), so the
+  emission table is clamped to ``BIG`` and scores ≥ ``BIG_THRESHOLD`` are
+  mapped back to `+inf` on extraction — exactly the trick the reference's
+  dense backend uses with `FLT_MAX` (``cuASR_helper.cu:147-165``).
+
+Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
+[N,32]×[32,B] MXU matmul — for the Pfam corpus (D=1, R=1, C=2) that is
+~600× less arithmetic than the dense N²·B step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spec_viterbi_tpu.hmm import MOD_PROB_DTYPE
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+BB = 128  # batch (lane) block
+E_PAD = 32  # one-hot contraction pad (MXU sublane tile for f32 is 8; 32 covers E=20)
+
+# Finite stand-in for the semiring zero inside the MXU matmul; scores at or
+# beyond BIG_THRESHOLD are +inf semantically (cuASR_helper.cu:157-162 analog).
+BIG = np.float32(1e30)
+BIG_THRESHOLD = np.float32(1e29)
+
+# Fused kernel eligibility: each residual entry costs a masked row update.
+MAX_FUSED_RESIDUAL = 8
+
+
+def fused_eligible(sop: StructuredOperator) -> bool:
+    return (
+        sop.residual_nnz <= MAX_FUSED_RESIDUAL
+        and sop.num_components + sop.residual_nnz <= 24
+    )
+
+
+def _make_kernel(sop: StructuredOperator):
+    diag_offsets = sop.diag_offsets
+    row_idx = sop.row_idx
+    col_idx = sop.col_idx
+    residual = list(
+        zip(
+            sop.res_src.tolist(),
+            sop.res_dst.tolist(),
+            range(sop.residual_nnz),
+        )
+    )
+    n = sop.n
+
+    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, oh_ref, len_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            o_ref[:] = v0_ref[:]
+
+        v = o_ref[:]
+        u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
+        for k, d in enumerate(diag_offsets):
+            u = jnp.minimum(u, dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0))
+        for k, s in enumerate(row_idx):
+            u = jnp.minimum(u, rv_ref[:, k : k + 1] + v[s : s + 1, :])
+        if col_idx or residual:
+            rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        for k, c in enumerate(col_idx):
+            cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)  # [1, B]
+            u = jnp.where(rows == c, jnp.minimum(u, cu), u)
+        for s, d, k in residual:
+            cand = resv_ref[0, k] + v[s : s + 1, :]  # [1, B]
+            u = jnp.where(rows == d, jnp.minimum(u, cand), u)
+
+        # one-hot selection on the MXU; HIGHEST keeps f32 exact (default
+        # MXU f32 rounds operands to bf16 — visible drift in scores)
+        em_sel = jnp.dot(
+            em_ref[:],
+            oh_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Np, B]
+        v_new = em_sel + u
+        keep = (t + 1) < len_ref[:]  # [1, B]
+        o_ref[:] = jnp.where(keep, v_new, v)
+
+    return kernel
+
+
+class FusedStructuredDecoder:
+    """Whole-sequence fused decoder for one HMM (batched, scores only)."""
+
+    def __init__(
+        self,
+        sop: StructuredOperator,
+        emissions: np.ndarray,
+        pi: np.ndarray,
+        interpret: bool = False,
+    ):
+        self.interpret = interpret
+        if not fused_eligible(sop):
+            raise ValueError(
+                f"operator too irregular for the fused kernel "
+                f"(components={sop.num_components}, residual={sop.residual_nnz})"
+            )
+        self.sop = sop
+        n = sop.n
+        self.n = n
+        self.states_num = sop.states_num
+        self.emit_num = emissions.shape[0]
+
+        # [Np, D/R/C] transposed value arrays (lane-sliced per component)
+        def t_pad(a):
+            out = np.full((n, max(1, a.shape[0])), np.inf, dtype=MOD_PROB_DTYPE)
+            if a.shape[0]:
+                out[:, : a.shape[0]] = a.T
+            return jnp.asarray(out)
+
+        self.dv = t_pad(sop.diag_vals)
+        self.rv = t_pad(sop.row_vals)
+        self.cv = t_pad(sop.col_vals)
+        resv = np.full((1, max(1, sop.residual_nnz)), np.inf, dtype=MOD_PROB_DTYPE)
+        if sop.residual_nnz:
+            resv[0, : sop.residual_nnz] = sop.res_vals
+        self.resv = jnp.asarray(resv)
+
+        em_pad = np.full((n, E_PAD), BIG, dtype=MOD_PROB_DTYPE)
+        em_pad[:, : self.emit_num] = np.minimum(emissions.T, BIG)
+        self.em_clamped = jnp.asarray(em_pad)  # [Np, E_PAD]
+        self.em = jnp.asarray(emissions)  # [E, Np] (for v0)
+        self.pi = jnp.asarray(pi)  # [Np]
+
+        self._kernel = _make_kernel(sop)
+        self._jit_run = jax.jit(self._run)
+
+    def _run(self, seqs_t, lengths):
+        """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
+
+        The observation one-hots are materialized on device (an iota
+        compare, memory-bound) — host-built one-hots would cross the
+        host↔device boundary at 32× the size of the raw symbols.
+        Returns [B, Np] scores with ``BIG``-range values mapped to +inf.
+        """
+        v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
+        sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
+        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, E_PAD, B]
+        out = self._pallas(v0, oh, lengths)  # [Np, B]
+        out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
+        return out.T
+
+    def _pallas(self, v0, oh, lengths):
+        n = self.n
+        t_steps, _, b = oh.shape
+        grid = (b // BB, t_steps)
+        return pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.rv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.cv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((n, E_PAD), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, E_PAD, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+            interpret=self.interpret,
+        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
+
+    def prepare(self, seqs: list[np.ndarray]):
+        """Pad/transfer a batch once; returns device (seqs_t, lengths)."""
+        b = len(seqs)
+        b_pad = ((b + BB - 1) // BB) * BB
+        t_max = max(2, max(len(s) for s in seqs))
+        batch = np.zeros((b_pad, t_max), dtype=np.int32)
+        lengths = np.zeros((1, b_pad), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : len(s)] = s
+            lengths[0, i] = len(s)
+        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
+
+    def run_prepared(self, seqs_t, lengths) -> jax.Array:
+        """Fused decode of a prepared batch; returns [B, Np] device scores."""
+        return self._jit_run(seqs_t, lengths)
+
+    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Decode a set of sequences; returns final score vectors."""
+        if not seqs:
+            return []
+        seqs_t, lengths = self.prepare(seqs)
+        v = np.asarray(self.run_prepared(seqs_t, lengths))
+        return [v[i, : self.states_num] for i in range(len(seqs))]
