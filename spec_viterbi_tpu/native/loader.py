@@ -18,6 +18,22 @@ _lib = None
 _lib_tried = False
 
 
+def _build():
+    """Lazy one-shot build of the native library (single TU, ~1 s)."""
+    import subprocess
+
+    src_dir = os.path.join(os.path.dirname(__file__), "src")
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # no toolchain → Python parsers carry on
+
+
 def _load():
     global _lib, _lib_tried
     if _lib_tried:
@@ -26,6 +42,8 @@ def _load():
     if os.environ.get("SVT_DISABLE_NATIVE"):
         return None
     path = os.path.join(os.path.dirname(__file__), _LIB_NAME)
+    if not os.path.exists(path):
+        _build()
     if not os.path.exists(path):
         return None
     try:
