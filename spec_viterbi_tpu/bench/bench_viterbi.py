@@ -1,0 +1,135 @@
+"""Dataset-level benchmark drivers — parity with ``benchmark/bench_Viterbi.h``
+and ``benchmark/bench_Viterbi_spec.h``.
+
+Shape preserved from the reference:
+
+- iterate every ``*.chmm`` in a models directory (``bench_Viterbi.h:37-48``),
+- timed unit = decode **all** sequences of the dataset once
+  (``bench_Viterbi.h:51-57``) — here as one batched device program (the DP
+  upgrade) with the sequence batch pre-staged on device, so the timed
+  region is decode compute;
+- median of N runs into a map keyed by state count (``:58-60``),
+- spec benchmarks time ``spec_with`` (prep) and ``run_Viterbi_spec``
+  (decode) separately, emitting paired ``<impl>_spec_<L>_prep`` /
+  ``<impl>_spec_<L>`` columns (``bench_Viterbi_spec.h:33-47,67-84``).
+
+The reference's "backend" axis (GraphBLAS/CUSP/cuASR) maps to this
+framework's execution modes (dense / structured, plus pallas on TPU).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from spec_viterbi_tpu.bench import harness
+from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+
+DEFAULT_MODES = ("dense", "structured")
+
+
+def _iter_models(chmm_dir: str, max_states: int | None = None):
+    for path in sorted(glob.glob(os.path.join(chmm_dir, "*.chmm"))):
+        hmm = read_hmm(path)
+        if max_states is not None and hmm.states_num > max_states:
+            continue
+        yield path, hmm
+
+
+def benchmark_viterbi_impls_to_dat_file(
+    chmm_dir: str,
+    ess_path: str,
+    out_path: str,
+    modes: tuple[str, ...] = DEFAULT_MODES,
+    times_to_run: int = harness.TIMES_TO_RUN,
+    max_states: int | None = None,
+    verbose: bool = True,
+) -> dict[int, list[float]]:
+    """Non-spec benchmark: one column per execution mode
+    (``bench_Viterbi.h:17-69``)."""
+    seqs = read_emit_seq(ess_path)
+    bench: dict[int, list[float]] = {}
+    for path, hmm in _iter_models(chmm_dir, max_states):
+        if verbose:
+            print(f"[bench] {os.path.basename(path)} ({hmm.states_num} states)")
+        for mode in modes:
+            dec = ViterbiDecoder(hmm, mode=mode)
+            handle = dec.prepare_batch(seqs)
+
+            def run():
+                harness.block_output(dec.run_batch(handle))
+
+            run()  # warmup/compile outside the timed runs
+            t = harness.get_median(harness.get_sorted_run_times(run, times_to_run))
+            bench.setdefault(hmm.states_num, []).append(t)
+        if verbose:
+            print(f"[bench]   -> {bench[hmm.states_num]}")
+    harness.print_benchmarks_to_file_as_dat(
+        out_path, ["States", *modes], bench
+    )
+    return bench
+
+
+def benchmark_viterbi_spec_impls_to_dat_file(
+    chmm_dir: str,
+    ess_path: str,
+    out_path: str,
+    levels: tuple[int, ...] = (1, 2),
+    times_to_run: int = harness.TIMES_TO_RUN,
+    max_states: int | None = None,
+    max_spec_bytes: int = 8 << 30,
+    verbose: bool = True,
+) -> dict[int, list[float]]:
+    """Spec benchmark with paired prep/decode columns
+    (``bench_Viterbi_spec.h:16-93``).
+
+    ``max_spec_bytes`` enforces the reference's memory policy deliberately
+    (GPU backends stop at level 1 for the 20-symbol corpus,
+    ``bench_Viterbi_spec.h:37-47``): level L needs ``E^L·N²·4`` bytes of
+    tuple operators; models over budget get NaN columns at that level.
+    """
+    seqs = read_emit_seq(ess_path)
+    headers = ["States"]
+    for level in levels:
+        headers += [f"spec_{level}_prep", f"spec_{level}"]
+
+    bench: dict[int, list[float]] = {}
+    for path, hmm in _iter_models(chmm_dir, max_states):
+        if verbose:
+            print(f"[bench-spec] {os.path.basename(path)} ({hmm.states_num} states)")
+        row: list[float] = []
+        for level in levels:
+            need = SpecializedViterbi.spec_memory_bytes(
+                hmm.states_num, hmm.emit_num, level
+            )
+            if need > max_spec_bytes:
+                row += [float("nan"), float("nan")]
+                continue
+            spec = SpecializedViterbi(level=level)
+
+            def prep():
+                spec.spec_with(hmm)
+
+            prep()  # compile
+            prep_t = harness.get_median(
+                harness.get_sorted_run_times(prep, times_to_run)
+            )
+
+            def run():
+                for s in seqs:
+                    spec.run_spec(s)
+
+            run()  # compile per sequence length
+            run_t = harness.get_median(
+                harness.get_sorted_run_times(run, times_to_run)
+            )
+            row += [prep_t, run_t]
+        bench[hmm.states_num] = row
+        if verbose:
+            print(f"[bench-spec]   -> {row}")
+    harness.print_benchmarks_to_file_as_dat(out_path, headers, bench)
+    return bench

@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+The reference's only executable is a zero-flag benchmark loop over a
+hardcoded dataset list (``main.cpp:4-23``); a real flag system is a
+deliberate upgrade (SURVEY.md §5 config note). Subcommands:
+
+- ``bench``    — the ``main()`` equivalent: non-spec + spec benchmarks over
+  datasets × models, `.dat` TSV outputs (``Viterbi_bench_<ds>.dat`` /
+  ``Viterbi_spec_bench_<ds>.dat``).
+- ``decode``   — decode an .ess against a .chmm, print score vectors (and
+  optionally Viterbi paths — this framework's backtrace extension).
+- ``sum-dat``  — column sums of a `.dat` file (``benchmark/sum_dat.py``).
+- ``info``     — model stats + structured-decomposition report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+DEFAULT_DATASETS = (  # main.cpp:5-7
+    "emit_3_3500_20",
+    "emit_3_7000_20",
+    "covid-19",
+    "emit_50_3500_20",
+)
+
+
+def _cmd_bench(args) -> int:
+    from spec_viterbi_tpu.bench import bench_viterbi
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for ds in args.datasets:
+        ess = ds if ds.endswith(".ess") else os.path.join(args.ess_dir, f"{ds}.ess")
+        name = os.path.splitext(os.path.basename(ess))[0]
+        if not args.skip_nonspec:
+            out = os.path.join(args.out_dir, f"Viterbi_bench_{name}.dat")
+            bench_viterbi.benchmark_viterbi_impls_to_dat_file(
+                args.chmm_dir,
+                ess,
+                out,
+                modes=tuple(args.modes),
+                times_to_run=args.times,
+                max_states=args.max_states,
+            )
+            print(f"wrote {out}")
+        if not args.skip_spec:
+            out = os.path.join(args.out_dir, f"Viterbi_spec_bench_{name}.dat")
+            bench_viterbi.benchmark_viterbi_spec_impls_to_dat_file(
+                args.chmm_dir,
+                ess,
+                out,
+                levels=tuple(args.levels),
+                times_to_run=args.times,
+                max_states=args.max_states,
+                max_spec_bytes=args.max_spec_gb << 30,
+            )
+            print(f"wrote {out}")
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+
+    hmm = read_hmm(args.chmm)
+    seqs = read_emit_seq(args.ess)
+    dec = ViterbiDecoder(hmm, mode=args.mode)
+    if args.path:
+        for i, s in enumerate(seqs):
+            scores, path = dec.decode_path(s)
+            print(f"seq {i}: best={np.min(scores):.4f} path={path.tolist()}")
+    else:
+        for i, v in enumerate(dec.decode_batch(seqs)):
+            head = " ".join(f"{x:.4f}" for x in v[:8])
+            print(f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] min={np.min(v):.4f}")
+    return 0
+
+
+def _cmd_sum_dat(args) -> int:
+    from spec_viterbi_tpu.bench.harness import sum_dat_columns
+
+    for col, total in sum_dat_columns(args.dat).items():
+        print(f"{col}\t{total}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from spec_viterbi_tpu.io import read_hmm
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    hmm = read_hmm(args.chmm)
+    sop = StructuredOperator.from_hmm(hmm)
+    density = hmm.trans_num / max(1, hmm.states_num**2)
+    print(f"states:        {hmm.states_num} (padded {hmm.padded_states})")
+    print(f"symbols:       {hmm.emit_num}")
+    print(f"transitions:   {hmm.trans_num} ({100 * density:.3f}% dense)")
+    print(f"start states:  {hmm.non_zero_start_probs}")
+    print(f"fingerprint:   {hmm.fingerprint()}")
+    print("structured decomposition:")
+    print(f"  diagonals:   {list(sop.diag_offsets)}")
+    print(f"  dense rows:  {list(sop.row_idx)}")
+    print(f"  dense cols:  {list(sop.col_idx)}")
+    print(f"  residual:    {sop.residual_nnz} entries")
+    print(f"  cost ratio:  {sop.cost_ratio():.5f} of dense")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="spec_viterbi_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench", help="run the benchmark suite")
+    b.add_argument("--chmm-dir", default="/root/reference/chmm_files")
+    b.add_argument("--ess-dir", default="/root/reference/ess_files")
+    b.add_argument("--datasets", nargs="+", default=list(DEFAULT_DATASETS))
+    b.add_argument("--out-dir", default="bench_out")
+    b.add_argument("--times", type=int, default=10, help="runs per median")
+    b.add_argument("--modes", nargs="+", default=["dense", "structured"])
+    b.add_argument("--levels", nargs="+", type=int, default=[1, 2])
+    b.add_argument("--max-states", type=int, default=None)
+    b.add_argument("--max-spec-gb", type=int, default=8)
+    b.add_argument("--skip-spec", action="store_true")
+    b.add_argument("--skip-nonspec", action="store_true")
+    b.set_defaults(fn=_cmd_bench)
+
+    d = sub.add_parser("decode", help="decode an .ess against a .chmm")
+    d.add_argument("chmm")
+    d.add_argument("ess")
+    d.add_argument("--mode", default="auto")
+    d.add_argument("--path", action="store_true", help="print Viterbi paths")
+    d.set_defaults(fn=_cmd_decode)
+
+    s = sub.add_parser("sum-dat", help="column sums of a .dat file")
+    s.add_argument("dat")
+    s.set_defaults(fn=_cmd_sum_dat)
+
+    i = sub.add_parser("info", help="model + decomposition report")
+    i.add_argument("chmm")
+    i.set_defaults(fn=_cmd_info)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

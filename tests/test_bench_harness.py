@@ -1,0 +1,99 @@
+"""Benchmark harness: timing helpers, .dat format, dataset drivers (on the
+tiny fixtures, times=1, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import TEST_CHMMS, TEST_SEQS
+
+from spec_viterbi_tpu.bench import harness
+from spec_viterbi_tpu.bench.bench_viterbi import (
+    benchmark_viterbi_impls_to_dat_file,
+    benchmark_viterbi_spec_impls_to_dat_file,
+)
+
+
+def test_median_odd_even():
+    assert harness.get_median([1.0, 2.0, 9.0]) == 2.0
+    assert harness.get_median([1.0, 2.0, 3.0, 9.0]) == 2.5
+    with pytest.raises(ValueError):
+        harness.get_median([])
+
+
+def test_dat_writer_and_sum(tmp_path):
+    out = tmp_path / "x.dat"
+    harness.print_benchmarks_to_file_as_dat(
+        str(out), ["States", "a", "b"], {200: [2.0, 3.0], 100: [1.0, 5.0]}
+    )
+    lines = out.read_text().splitlines()
+    assert lines[0] == "States\ta\tb"
+    # rows ascending by state count
+    assert lines[1].split("\t")[0] == "100"
+    assert lines[2].split("\t")[0] == "200"
+    sums = harness.sum_dat_columns(str(out))
+    assert sums["States"] == 300
+    assert sums["a"] == 3.0
+    assert sums["b"] == 8.0
+
+
+def test_nonspec_bench_driver(tmp_path):
+    out = tmp_path / "bench.dat"
+    bench = benchmark_viterbi_impls_to_dat_file(
+        TEST_CHMMS,
+        os.path.join(TEST_SEQS, "0_test_seq.ess"),
+        str(out),
+        modes=("dense",),
+        times_to_run=1,
+        verbose=False,
+    )
+    assert len(bench) >= 2  # fixtures with distinct state counts
+    header = out.read_text().splitlines()[0]
+    assert header == "States\tdense"
+
+
+def test_spec_bench_driver_with_memory_policy(tmp_path):
+    out = tmp_path / "spec.dat"
+    bench = benchmark_viterbi_spec_impls_to_dat_file(
+        TEST_CHMMS,
+        os.path.join(TEST_SEQS, "0_test_seq.ess"),
+        str(out),
+        levels=(1, 2),
+        times_to_run=1,
+        max_spec_bytes=0,  # force the over-budget path at every level
+        verbose=False,
+    )
+    header = out.read_text().splitlines()[0].split("\t")
+    assert header == ["States", "spec_1_prep", "spec_1", "spec_2_prep", "spec_2"]
+    for row in bench.values():
+        assert all(np.isnan(v) for v in row)  # memory policy engaged
+
+
+def test_cli_info_and_sum_dat(tmp_path, capsys):
+    from spec_viterbi_tpu.cli import main
+
+    rc = main(["info", os.path.join(TEST_CHMMS, "0_test_chmm.chmm")])
+    assert rc == 0
+    assert "structured decomposition" in capsys.readouterr().out
+
+    out = tmp_path / "x.dat"
+    harness.print_benchmarks_to_file_as_dat(str(out), ["States", "a"], {10: [1.5]})
+    rc = main(["sum-dat", str(out)])
+    assert rc == 0
+    assert "a\t1.5" in capsys.readouterr().out
+
+
+def test_cli_decode(capsys):
+    from spec_viterbi_tpu.cli import main
+
+    rc = main(
+        [
+            "decode",
+            os.path.join(TEST_CHMMS, "1_test_chmm.chmm"),
+            os.path.join(TEST_SEQS, "1_test_seq.ess"),
+            "--path",
+        ]
+    )
+    assert rc == 0
+    assert "path=" in capsys.readouterr().out
