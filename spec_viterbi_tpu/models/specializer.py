@@ -113,11 +113,18 @@ class SpecializedViterbi:
     apply the same policy deliberately.
     """
 
-    def __init__(self, level: int = 1, use_pallas: bool | None = None, pad: bool = True):
+    def __init__(
+        self,
+        level: int = 1,
+        use_pallas: bool | None = None,
+        pad: bool = True,
+        cache: "OperatorCache | None" = None,
+    ):
         if level < 1:
             raise ValueError("level must be >= 1 (Viterbi_spec_impl.h:20-23)")
         self.level = level
         self.pad = pad
+        self.cache = cache
         self.use_pallas = (
             dispatch.default_use_pallas() if use_pallas is None else use_pallas
         )
@@ -147,16 +154,36 @@ class SpecializedViterbi:
         self.start_ops = self.ops = self.tuple_ops = None
 
         np_states = pad_to_lane(hmm.states_num) if self.pad else hmm.states_num
-        a_t = jnp.asarray(hmm.transposed_transition_matrix(pad_to=np_states))
-        pi = jnp.asarray(hmm.start_vector(pad_to=np_states))
-        em = jnp.asarray(hmm.emission_matrix(pad_to=np_states))
 
-        start_ops, ops = _build_level1(a_t, pi, em, self.use_pallas)
-        tuple_ops = ops
-        if self.level > 1:
-            ops_t = jnp.transpose(ops, (0, 2, 1))
-            for _ in range(self.level - 1):
-                tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
+        cached = None
+        if self.cache is not None:
+            cached = self.cache.load(hmm.fingerprint(), self.level, np_states)
+        if cached is not None:
+            start_ops = jnp.asarray(cached["start_ops"])
+            ops = jnp.asarray(cached["ops"])
+            tuple_ops = jnp.asarray(cached["tuple_ops"])
+        else:
+            a_t = jnp.asarray(hmm.transposed_transition_matrix(pad_to=np_states))
+            pi = jnp.asarray(hmm.start_vector(pad_to=np_states))
+            em = jnp.asarray(hmm.emission_matrix(pad_to=np_states))
+
+            start_ops, ops = _build_level1(a_t, pi, em, self.use_pallas)
+            tuple_ops = ops
+            if self.level > 1:
+                ops_t = jnp.transpose(ops, (0, 2, 1))
+                for _ in range(self.level - 1):
+                    tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
+            if self.cache is not None:
+                self.cache.store(
+                    hmm.fingerprint(),
+                    self.level,
+                    np_states,
+                    {
+                        "start_ops": np.asarray(start_ops),
+                        "ops": np.asarray(ops),
+                        "tuple_ops": np.asarray(tuple_ops),
+                    },
+                )
 
         self.start_ops = start_ops
         self.ops = ops

@@ -1,0 +1,68 @@
+"""Operator-cache persistence and profiling utilities."""
+
+import os
+
+import numpy as np
+
+from conftest import TEST_CHMMS, TEST_SEQS
+
+from spec_viterbi_tpu.hmm import almost_equal_vec
+from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+from spec_viterbi_tpu.utils import OperatorCache, StepTimer
+
+
+def test_operator_cache_roundtrip(tmp_path):
+    cache = OperatorCache(str(tmp_path))
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
+    seq = read_emit_seq(os.path.join(TEST_SEQS, "1_test_seq.ess"))[0]
+
+    spec = SpecializedViterbi(level=2, cache=cache)
+    spec.spec_with(hmm)
+    want = spec.run_spec(seq)
+    files = os.listdir(tmp_path)
+    assert len(files) == 1 and files[0].endswith(".npz")
+
+    # second specialization loads from disk and produces identical results
+    spec2 = SpecializedViterbi(level=2, cache=cache)
+    spec2.spec_with(hmm)
+    got = spec2.run_spec(seq)
+    np.testing.assert_array_equal(got, want)
+    assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq))
+
+
+def test_operator_cache_key_discriminates(tmp_path):
+    cache = OperatorCache(str(tmp_path))
+    h1 = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
+    h2 = read_hmm(os.path.join(TEST_CHMMS, "2_test_chmm.chmm"))
+    for level in (1, 2):
+        for h in (h1, h2):
+            s = SpecializedViterbi(level=level, cache=cache)
+            s.spec_with(h)
+    assert len(os.listdir(tmp_path)) == 4  # 2 models × 2 levels
+
+
+def test_operator_cache_corrupt_entry_rebuilds(tmp_path):
+    cache = OperatorCache(str(tmp_path))
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
+    seq = read_emit_seq(os.path.join(TEST_SEQS, "1_test_seq.ess"))[0]
+    spec = SpecializedViterbi(level=1, cache=cache)
+    spec.spec_with(hmm)
+    path = os.path.join(str(tmp_path), os.listdir(tmp_path)[0])
+    with open(path, "wb") as f:
+        f.write(b"garbage")
+    spec2 = SpecializedViterbi(level=1, cache=cache)
+    spec2.spec_with(hmm)  # silently rebuilds
+    assert almost_equal_vec(spec2.run_spec(seq), viterbi_scores_oracle(hmm, seq))
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    for _ in range(5):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["count"] == 5
+    assert s["median_ms"] >= 0
+    assert StepTimer().summary() == {"count": 0}

@@ -1,0 +1,80 @@
+"""Cross-implementation semantic equality — parity with
+``tests/test_semantic_equality.cpp:19-98``.
+
+The reference's correctness oracle: every backend agrees with every other,
+spec agrees with non-spec, on production models × the ``emit_3_3500_20``
+dataset. Here the "backends" are the framework's execution paths:
+
+  non-spec:  dense XLA, structured XLA, NumPy oracle
+  spec:      levels 1 and 2 (GraphBLAS runs L1+L2, GPU backends L1 —
+             ``test_semantic_equality.cpp:45-56``)
+
+The default run covers a model subset with truncated sequences (CPU-time
+bounded); ``SVT_FULL_EQUALITY=1`` unlocks the reference's full sweep.
+"""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CHMM_DIR, ESS_DIR
+
+from spec_viterbi_tpu.hmm import almost_equal_vec
+from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+
+FULL = bool(os.environ.get("SVT_FULL_EQUALITY"))
+
+MODELS = (
+    sorted(
+        os.path.basename(p)
+        for p in __import__("glob").glob(os.path.join(CHMM_DIR, "*.chmm"))
+    )
+    if FULL
+    else ["100.chmm", "500.chmm", "1200.chmm"]
+)
+SEQ_TRUNC = None if FULL else 160
+
+
+@pytest.fixture(scope="module")
+def sequences():
+    seqs = read_emit_seq(os.path.join(ESS_DIR, "emit_3_3500_20.ess"))
+    if SEQ_TRUNC:
+        seqs = [s[:SEQ_TRUNC] for s in seqs]
+    return seqs
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_all_paths_agree(model, sequences):
+    hmm = read_hmm(os.path.join(CHMM_DIR, model))
+
+    non_spec = {
+        "dense": ViterbiDecoder(hmm, mode="dense"),
+        "structured": ViterbiDecoder(hmm, mode="structured"),
+    }
+    spec_impls = {}
+    for level in (1, 2):
+        if (
+            SpecializedViterbi.spec_memory_bytes(hmm.states_num, hmm.emit_num, level)
+            > 2 << 30
+        ):
+            continue  # reference memory policy (test_semantic_equality.cpp:45-46)
+        s = SpecializedViterbi(level=level)
+        s.spec_with(hmm)
+        spec_impls[f"spec_L{level}"] = s
+
+    for seq in sequences:
+        results = {name: d.decode(seq) for name, d in non_spec.items()}
+        results["oracle"] = viterbi_scores_oracle(hmm, seq)
+        results.update(
+            {name: s.run_spec(seq) for name, s in spec_impls.items()}
+        )
+        # batched path of one mode too (the DP upgrade must agree)
+        results["dense_batched"] = non_spec["dense"].decode_batch([seq])[0]
+
+        for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
+            assert almost_equal_vec(va, vb), (model, na, nb, len(seq))
