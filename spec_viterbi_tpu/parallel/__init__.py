@@ -22,6 +22,11 @@ from spec_viterbi_tpu.parallel.sharded import (
     make_time_parallel_decode,
     make_tp_decode,
 )
+from spec_viterbi_tpu.parallel.structured_tp import (
+    decode_batch_structured_tp,
+    make_structured_tp_decode,
+    structured_tp_supported,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -37,4 +42,7 @@ __all__ = [
     "make_dp_tp_decode",
     "make_time_parallel_decode",
     "make_tp_decode",
+    "decode_batch_structured_tp",
+    "make_structured_tp_decode",
+    "structured_tp_supported",
 ]
