@@ -134,6 +134,14 @@ class SpecializedViterbi:
         self.tuple_ops = None  # [E^level, Np, Np]
         self.states_num = 0
         self.emit_num = 0
+        # At level 1 the specialized operator stack is exactly the HMM's
+        # transition structure with emissions folded in — on TPU the optimal
+        # realization is the structured decomposition + fused kernel, so
+        # run_spec delegates to it when available. Level > 1 keeps dense
+        # tuple operators (the reference's own spec story; profitable for
+        # small/dense models, memory-walled for the 20-symbol corpus,
+        # bench_Viterbi_spec.h:37-47).
+        self._delegate = None
 
     def get_level(self) -> int:
         return self.level
@@ -190,12 +198,22 @@ class SpecializedViterbi:
         self.tuple_ops = tuple_ops
         self.states_num = hmm.states_num
         self.emit_num = hmm.emit_num
+
+        self._delegate = None
+        if self.level == 1 and self.pad:
+            from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+
+            dec = ViterbiDecoder(hmm, mode="auto")
+            if dec.mode == "structured":
+                self._delegate = dec
         self._specialized = True
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
         """``run_Viterbi_spec`` parity: final score vector for one sequence."""
         if not self._specialized:
             raise RuntimeError("call spec_with(hmm) before run_spec(seq)")
+        if self._delegate is not None:
+            return self._delegate.decode(seq)
         seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
         v = _decode_spec(
             self.start_ops,
@@ -207,3 +225,16 @@ class SpecializedViterbi:
             self.use_pallas,
         )
         return np.asarray(v[: self.states_num])
+
+    def run_spec_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Batched specialized decode (DP extension of run_Viterbi_spec).
+
+        Level 1 rides the batched structured/fused path; higher levels fall
+        back to per-sequence decoding (per-lane tuple-operator gathers do
+        not vectorize profitably on TPU).
+        """
+        if not self._specialized:
+            raise RuntimeError("call spec_with(hmm) before run_spec_batch")
+        if self._delegate is not None:
+            return self._delegate.decode_batch(seqs)
+        return [self.run_spec(s) for s in seqs]

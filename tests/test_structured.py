@@ -141,3 +141,33 @@ def test_auto_mode_selects_structured_on_corpus():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     dec = ViterbiDecoder(hmm)  # mode="auto"
     assert dec.mode == "structured"
+
+
+def test_spec_level1_delegates_to_structured_path():
+    from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    spec = SpecializedViterbi(level=1)
+    spec.spec_with(hmm)
+    assert spec._delegate is not None  # structured routing engaged
+    rng = np.random.default_rng(17)
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in (9, 33)]
+    for s in seqs:
+        assert almost_equal_vec(spec.run_spec(s), viterbi_scores_oracle(hmm, s))
+    got = spec.run_spec_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
+def test_spec_level2_batch_fallback():
+    from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
+    spec = SpecializedViterbi(level=2)
+    spec.spec_with(hmm)
+    assert spec._delegate is None
+    rng = np.random.default_rng(23)
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in (4, 7)]
+    got = spec.run_spec_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
