@@ -80,6 +80,70 @@ def _cmd_decode(args) -> int:
     return 0
 
 
+def _cmd_bench_scaling(args) -> int:
+    """DP scaling sweep: throughput and efficiency vs data-axis size.
+
+    Runs on whatever devices exist — a TPU slice for real numbers, or the
+    virtual CPU mesh to validate the sharded program. North-star metric:
+    ≥80% efficiency 1 chip → N (BASELINE.md)."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+    from spec_viterbi_tpu.parallel import make_mesh
+    from spec_viterbi_tpu.parallel.structured_tp import make_structured_dp_decode
+
+    hmm = read_hmm(args.chmm)
+    seqs = read_emit_seq(args.ess)
+    sop = StructuredOperator.from_hmm(hmm)
+    n = sop.n
+    em_t = jnp.asarray(hmm.emission_matrix(pad_to=n).T)
+    pi = jnp.asarray(hmm.start_vector(pad_to=n))
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    base = None
+    for d in sizes:
+        mesh = make_mesh(data=d)
+        fn = make_structured_dp_decode(sop, mesh)
+        chunk = d * 8
+        b = len(seqs)
+        b_pad = ((b + chunk - 1) // chunk) * chunk
+        t_max = max(2, max(len(s) for s in seqs))
+        batch = np.zeros((b_pad, t_max), dtype=np.int32)
+        lengths = np.zeros(b_pad, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : len(s)] = s
+            lengths[i] = len(s)
+        bt = jnp.asarray(batch.T.copy())
+        ln = jnp.asarray(lengths)
+        np.asarray(fn(em_t, pi, bt, ln))  # compile + warmup
+        times = []
+        for _ in range(args.times):
+            t0 = time.perf_counter()
+            np.asarray(fn(em_t, pi, bt, ln)[:1, :1])
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[len(times) // 2]
+        thr = sum(len(s) for s in seqs) / t
+        if base is None:
+            base = thr
+        eff = thr / (base * d)
+        print(
+            json.dumps(
+                {
+                    "devices": d,
+                    "throughput_sym_s": round(thr, 1),
+                    "efficiency_vs_1": round(eff, 3),
+                }
+            )
+        )
+    return 0
+
+
 def _cmd_sum_dat(args) -> int:
     from spec_viterbi_tpu.bench.harness import sum_dat_columns
 
@@ -133,6 +197,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--mode", default="auto")
     d.add_argument("--path", action="store_true", help="print Viterbi paths")
     d.set_defaults(fn=_cmd_decode)
+
+    sc = sub.add_parser("bench-scaling", help="DP scaling sweep over mesh sizes")
+    sc.add_argument("chmm")
+    sc.add_argument("ess")
+    sc.add_argument("--times", type=int, default=5)
+    sc.set_defaults(fn=_cmd_bench_scaling)
 
     s = sub.add_parser("sum-dat", help="column sums of a .dat file")
     s.add_argument("dat")

@@ -23,7 +23,9 @@ from spec_viterbi_tpu.parallel.sharded import (
     make_tp_decode,
 )
 from spec_viterbi_tpu.parallel.structured_tp import (
+    decode_batch_structured_dp,
     decode_batch_structured_tp,
+    make_structured_dp_decode,
     make_structured_tp_decode,
     structured_tp_supported,
 )
@@ -42,7 +44,9 @@ __all__ = [
     "make_dp_tp_decode",
     "make_time_parallel_decode",
     "make_tp_decode",
+    "decode_batch_structured_dp",
     "decode_batch_structured_tp",
+    "make_structured_dp_decode",
     "make_structured_tp_decode",
     "structured_tp_supported",
 ]

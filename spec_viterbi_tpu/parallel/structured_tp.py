@@ -150,6 +150,80 @@ def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
     return jax.jit(tp_decode)
 
 
+def make_structured_dp_decode(sop: StructuredOperator, mesh: Mesh):
+    """Batched structured decode sharded over the ``data`` axis only.
+
+    Zero per-step communication: operators replicate, each device advances
+    its slice of the batch — the scaling path for many-sequence workloads
+    (``emit_50_3500_20``-shaped). Used by the scaling benchmark.
+    """
+    from spec_viterbi_tpu.ops.structured import structured_mv_batch
+    from spec_viterbi_tpu.parallel.mesh import DATA_AXIS
+
+    arrs = sop.device_arrays()  # replicated closure constants
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # em_t [Np, E]
+            P(),  # pi [Np]
+            P(None, DATA_AXIS),  # seqs_t [T, B]
+            P(DATA_AXIS),  # lengths [B]
+        ),
+        out_specs=P(DATA_AXIS, None),
+    )
+    def dp_decode(em_t, pi, seqs_t, lengths):
+        v = em_t[:, seqs_t[0]] + pi[:, None]  # [Np, Bd] (varying via seqs_t)
+
+        def step(carry, xs):
+            o_t, t = xs
+            u = structured_mv_batch(sop, arrs, carry)
+            v_new = em_t[:, o_t] + u
+            keep = (t < lengths)[None, :]
+            return jnp.where(keep, v_new, carry), None
+
+        ts = jnp.arange(1, seqs_t.shape[0])
+        v, _ = jax.lax.scan(step, v, (seqs_t[1:], ts))
+        return v.T
+
+    return jax.jit(dp_decode)
+
+
+def decode_batch_structured_dp(
+    hmm: HMM,
+    seqs: list[np.ndarray],
+    mesh: Mesh,
+) -> list[np.ndarray]:
+    """Data-parallel batched structured decode over the ``data`` axis."""
+    if not seqs:
+        return []
+    from spec_viterbi_tpu.parallel.mesh import DATA_AXIS
+
+    sop = StructuredOperator.from_hmm(hmm)
+    fn = make_structured_dp_decode(sop, mesh)
+    d = mesh.shape[DATA_AXIS]
+    chunk = d * 8
+    b = len(seqs)
+    b_pad = ((b + chunk - 1) // chunk) * chunk
+    t_max = max(2, max(len(s) for s in seqs))
+    batch = np.zeros((b_pad, t_max), dtype=np.int32)
+    lengths = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        batch[i, : len(s)] = s
+        lengths[i] = len(s)
+    n = sop.n
+    v = np.asarray(
+        fn(
+            jnp.asarray(hmm.emission_matrix(pad_to=n).T),
+            jnp.asarray(hmm.start_vector(pad_to=n)),
+            jnp.asarray(batch.T.copy()),
+            jnp.asarray(lengths),
+        )
+    )
+    return [v[i, : hmm.states_num] for i in range(b)]
+
+
 def decode_batch_structured_tp(
     hmm: HMM,
     seqs: list[np.ndarray],

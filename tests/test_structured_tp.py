@@ -38,3 +38,15 @@ def test_structured_tp_larger_model():
     seqs = [rng.integers(0, hmm.emit_num, size=64).astype(np.int32)]
     got = decode_batch_structured_tp(hmm, seqs, mesh)
     assert almost_equal_vec(got[0], viterbi_scores_oracle(hmm, seqs[0]))
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+def test_structured_dp_matches_oracle(model, shards):
+    from spec_viterbi_tpu.parallel import decode_batch_structured_dp
+
+    mesh = make_mesh(data=shards)
+    rng = np.random.default_rng(41)
+    seqs = [rng.integers(0, model.emit_num, size=t).astype(np.int32) for t in (5, 27, 50)]
+    got = decode_batch_structured_dp(model, seqs, mesh)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(model, s)), len(s)
