@@ -152,6 +152,42 @@ def _cmd_sum_dat(args) -> int:
     return 0
 
 
+def _cmd_gen_chmm(args) -> int:
+    from spec_viterbi_tpu.io import write_chmm
+    from spec_viterbi_tpu.io.generators import generate_random_hmm
+
+    hmm = generate_random_hmm(
+        args.states,
+        trans_per_state=args.trans_per_state,
+        emit_range=args.emit_range,
+        num_non_zero_start_probs=args.start_probs,
+        seed=args.seed,
+    )
+    write_chmm(hmm, args.out)
+    print(f"wrote {args.out} ({hmm.states_num} states, {hmm.trans_num} transitions)")
+    return 0
+
+
+def _cmd_gen_ess(args) -> int:
+    from spec_viterbi_tpu.io import write_ess
+    from spec_viterbi_tpu.io.generators import generate_random_sequences
+
+    seqs = generate_random_sequences(
+        args.count, args.length, emit_range=args.emit_range, seed=args.seed
+    )
+    write_ess(seqs, args.out)
+    print(f"wrote {args.out} ({args.count} × {args.length})")
+    return 0
+
+
+def _cmd_fasta_to_ess(args) -> int:
+    from spec_viterbi_tpu.io.fasta import fasta_to_ess
+
+    fasta_to_ess(args.fasta, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from spec_viterbi_tpu.io import read_hmm
     from spec_viterbi_tpu.ops.structured import StructuredOperator
@@ -211,6 +247,30 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="model + decomposition report")
     i.add_argument("chmm")
     i.set_defaults(fn=_cmd_info)
+
+    # data tooling (parity with chmm_gen.py / ess_gen.py / fasta_to_ess.py,
+    # but with flags instead of edit-the-source constants)
+    gc = sub.add_parser("gen-chmm", help="generate a random .chmm model")
+    gc.add_argument("out")
+    gc.add_argument("--states", type=int, required=True)
+    gc.add_argument("--trans-per-state", type=int, default=3)
+    gc.add_argument("--emit-range", type=int, default=20)
+    gc.add_argument("--start-probs", type=int, default=2)
+    gc.add_argument("--seed", type=int, default=0)
+    gc.set_defaults(fn=_cmd_gen_chmm)
+
+    ge = sub.add_parser("gen-ess", help="generate a random .ess dataset")
+    ge.add_argument("out")
+    ge.add_argument("--count", type=int, required=True)
+    ge.add_argument("--length", type=int, required=True)
+    ge.add_argument("--emit-range", type=int, default=20)
+    ge.add_argument("--seed", type=int, default=0)
+    ge.set_defaults(fn=_cmd_gen_ess)
+
+    fe = sub.add_parser("fasta-to-ess", help="convert FASTA to .ess")
+    fe.add_argument("fasta")
+    fe.add_argument("out")
+    fe.set_defaults(fn=_cmd_fasta_to_ess)
     return p
 
 

@@ -257,6 +257,18 @@ class ViterbiDecoder:
             )
         return np.asarray(v[: self.dev.states_num]), np.asarray(path)
 
+    def decode_path_batch(
+        self, seqs: list[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """(scores, path) per sequence.
+
+        Backpointer storage is O(T·N) per sequence, so paths are decoded
+        one sequence at a time (a [T, N, B] pointer tensor for the long
+        workloads would not fit HBM); the scores-only batched path remains
+        the throughput API.
+        """
+        return [self.decode_path(s) for s in seqs]
+
     def prepare_batch(self, seqs: list[np.ndarray]):
         """Pad and transfer a batch once; returns a device-side handle.
 

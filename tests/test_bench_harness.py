@@ -84,6 +84,20 @@ def test_cli_info_and_sum_dat(tmp_path, capsys):
     assert "a\t1.5" in capsys.readouterr().out
 
 
+def test_cli_generators_roundtrip(tmp_path, capsys):
+    from spec_viterbi_tpu.cli import main
+    from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+
+    chmm = tmp_path / "g.chmm"
+    ess = tmp_path / "g.ess"
+    assert main(["gen-chmm", str(chmm), "--states", "16", "--emit-range", "5"]) == 0
+    assert main(["gen-ess", str(ess), "--count", "3", "--length", "7", "--emit-range", "5"]) == 0
+    capsys.readouterr()
+    hmm = read_hmm(str(chmm))
+    seqs = read_emit_seq(str(ess))
+    assert hmm.states_num == 16 and len(seqs) == 3 and len(seqs[0]) == 7
+
+
 def test_cli_decode(capsys):
     from spec_viterbi_tpu.cli import main
 
