@@ -296,9 +296,9 @@ class ViterbiDecoder:
 
     def run_batch(self, handle) -> "jax.Array":
         """Decode a prepared batch; returns [B, Np] device scores."""
-        seqs_d, lengths_d = handle
         if self._fused is not None:
-            return self._fused.run_prepared(seqs_d, lengths_d)
+            return self._fused.run_prepared(handle)
+        seqs_d, lengths_d = handle
         if self.mode == "structured":
             return self._s_decode_batch(
                 self.dev.emissions.T, self.dev.pi, seqs_d, lengths_d

@@ -57,18 +57,22 @@ def fused_eligible(sop: StructuredOperator) -> bool:
     )
 
 
-def _make_kernel(sop: StructuredOperator):
+def _make_kernel(sop: StructuredOperator, masked: bool):
+    """Kernel body, specialized to one HMM's decomposition.
+
+    VPU budget per step is ~(diags + rows + 2) full passes over the
+    [Np, B] carry: the accumulator seeds from the first bulk component
+    (no +inf init pass), dense-column/residual contributions touch single
+    rows and are patched with single-row stores after the bulk store
+    (never a whole-array select), and the length mask compiles out when
+    the caller knows the batch is uniform (``masked=False``).
+    """
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
     col_idx = sop.col_idx
     residual = list(
-        zip(
-            sop.res_src.tolist(),
-            sop.res_dst.tolist(),
-            range(sop.residual_nnz),
-        )
+        zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
     )
-    n = sop.n
 
     def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, oh_ref, len_ref, o_ref):
         t = pl.program_id(1)
@@ -78,19 +82,21 @@ def _make_kernel(sop: StructuredOperator):
             o_ref[:] = v0_ref[:]
 
         v = o_ref[:]
-        u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
-        for k, d in enumerate(diag_offsets):
-            u = jnp.minimum(u, dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0))
-        for k, s in enumerate(row_idx):
-            u = jnp.minimum(u, rv_ref[:, k : k + 1] + v[s : s + 1, :])
-        if col_idx or residual:
-            rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        for k, c in enumerate(col_idx):
-            cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)  # [1, B]
-            u = jnp.where(rows == c, jnp.minimum(u, cu), u)
-        for s, d, k in residual:
-            cand = resv_ref[0, k] + v[s : s + 1, :]  # [1, B]
-            u = jnp.where(rows == d, jnp.minimum(u, cand), u)
+
+        # bulk candidates: diagonals (shift) and dense rows (broadcast)
+        bulk = [
+            dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
+            for k, d in enumerate(diag_offsets)
+        ] + [
+            rv_ref[:, k : k + 1] + v[s : s + 1, :]
+            for k, s in enumerate(row_idx)
+        ]
+        if bulk:
+            u = bulk[0]
+            for cand in bulk[1:]:
+                u = jnp.minimum(u, cand)
+        else:
+            u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
 
         # one-hot selection on the MXU; HIGHEST keeps f32 exact (default
         # MXU f32 rounds operands to bf16 — visible drift in scores)
@@ -101,8 +107,26 @@ def _make_kernel(sop: StructuredOperator):
             precision=jax.lax.Precision.HIGHEST,
         )  # [Np, B]
         v_new = em_sel + u
-        keep = (t + 1) < len_ref[:]  # [1, B]
-        o_ref[:] = jnp.where(keep, v_new, v)
+        if masked:
+            keep = (t + 1) < len_ref[:]  # [1, B]
+            v_new = jnp.where(keep, v_new, v)
+        o_ref[:] = v_new
+
+        # single-row patches: dense columns (sublane reduction) + residual
+        specials: dict[int, list] = {}
+        for k, c in enumerate(col_idx):
+            cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)  # [1, B]
+            specials.setdefault(c, []).append(cu)
+        for s, d, k in residual:
+            specials.setdefault(d, []).append(resv_ref[0, k] + v[s : s + 1, :])
+        for row, cands in specials.items():
+            extra = cands[0]
+            for cand in cands[1:]:
+                extra = jnp.minimum(extra, cand)
+            val = em_sel[row : row + 1, :] + jnp.minimum(u[row : row + 1, :], extra)
+            if masked:
+                val = jnp.where(keep, val, v[row : row + 1, :])
+            o_ref[row : row + 1, :] = val
 
     return kernel
 
@@ -150,10 +174,10 @@ class FusedStructuredDecoder:
         self.em = jnp.asarray(emissions)  # [E, Np] (for v0)
         self.pi = jnp.asarray(pi)  # [Np]
 
-        self._kernel = _make_kernel(sop)
-        self._jit_run = jax.jit(self._run)
+        self._kernels = {m: _make_kernel(sop, m) for m in (False, True)}
+        self._jit_run = jax.jit(self._run, static_argnames=("masked",))
 
-    def _run(self, seqs_t, lengths):
+    def _run(self, seqs_t, lengths, masked: bool = True):
         """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
 
         The observation one-hots are materialized on device (an iota
@@ -164,16 +188,16 @@ class FusedStructuredDecoder:
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
         sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
         oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, E_PAD, B]
-        out = self._pallas(v0, oh, lengths)  # [Np, B]
+        out = self._pallas(v0, oh, lengths, masked)  # [Np, B]
         out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
         return out.T
 
-    def _pallas(self, v0, oh, lengths):
+    def _pallas(self, v0, oh, lengths, masked: bool):
         n = self.n
         t_steps, _, b = oh.shape
         grid = (b // BB, t_steps)
         return pl.pallas_call(
-            self._kernel,
+            self._kernels[masked],
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
@@ -199,7 +223,11 @@ class FusedStructuredDecoder:
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
 
     def prepare(self, seqs: list[np.ndarray]):
-        """Pad/transfer a batch once; returns device (seqs_t, lengths)."""
+        """Pad/transfer a batch once; returns (seqs_t, lengths, masked).
+
+        A uniform-length batch compiles the mask out of the kernel
+        (padding lanes evolve freely and are sliced off on extraction).
+        """
         b = len(seqs)
         b_pad = ((b + BB - 1) // BB) * BB
         t_max = max(2, max(len(s) for s in seqs))
@@ -208,16 +236,17 @@ class FusedStructuredDecoder:
         for i, s in enumerate(seqs):
             batch[i, : len(s)] = s
             lengths[0, i] = len(s)
-        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
+        masked = len({len(s) for s in seqs}) > 1 or t_max > max(len(s) for s in seqs)
+        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths), masked
 
-    def run_prepared(self, seqs_t, lengths) -> jax.Array:
+    def run_prepared(self, handle) -> jax.Array:
         """Fused decode of a prepared batch; returns [B, Np] device scores."""
-        return self._jit_run(seqs_t, lengths)
+        seqs_t, lengths, masked = handle
+        return self._jit_run(seqs_t, lengths, masked=masked)
 
     def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
         """Decode a set of sequences; returns final score vectors."""
         if not seqs:
             return []
-        seqs_t, lengths = self.prepare(seqs)
-        v = np.asarray(self.run_prepared(seqs_t, lengths))
+        v = np.asarray(self.run_prepared(self.prepare(seqs)))
         return [v[i, : self.states_num] for i in range(len(seqs))]
