@@ -57,15 +57,15 @@ def fused_eligible(sop: StructuredOperator) -> bool:
     )
 
 
-def _make_kernel(sop: StructuredOperator, masked: bool):
-    """Kernel body, specialized to one HMM's decomposition.
+def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0: int):
+    """Unrolled kernel: ``unroll`` recurrence steps per grid iteration.
 
-    VPU budget per step is ~(diags + rows + 2) full passes over the
-    [Np, B] carry: the accumulator seeds from the first bulk component
-    (no +inf init pass), dense-column/residual contributions touch single
-    rows and are patched with single-row stores after the bulk store
-    (never a whole-array select), and the length mask compiles out when
-    the caller knows the batch is uniform (``masked=False``).
+    The observation block arrives as [1, E_PAD, unroll·B] (substeps merged
+    into the lane dim by the caller), so ONE MXU matmul produces all
+    substeps' emission selections; per-substep slices are 128-aligned
+    because B == BB. Grid overhead and the oh DMA amortize by ``unroll``.
+    ``t0`` is the static global step offset (the tail call starts past the
+    unrolled main body).
     """
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
@@ -79,54 +79,56 @@ def _make_kernel(sop: StructuredOperator, masked: bool):
 
         @pl.when(t == 0)
         def _init():
+            # first grid step: seed from v0 (for the tail call this is the
+            # main body's output carry)
             o_ref[:] = v0_ref[:]
 
-        v = o_ref[:]
-
-        # bulk candidates: diagonals (shift) and dense rows (broadcast)
-        bulk = [
-            dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
-            for k, d in enumerate(diag_offsets)
-        ] + [
-            rv_ref[:, k : k + 1] + v[s : s + 1, :]
-            for k, s in enumerate(row_idx)
-        ]
-        if bulk:
-            u = bulk[0]
-            for cand in bulk[1:]:
-                u = jnp.minimum(u, cand)
-        else:
-            u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
-
-        # one-hot selection on the MXU; HIGHEST keeps f32 exact (default
-        # MXU f32 rounds operands to bf16 — visible drift in scores)
-        em_sel = jnp.dot(
+        em_all = jnp.dot(
             em_ref[:],
             oh_ref[0],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [Np, B]
-        v_new = em_sel + u
-        if masked:
-            keep = (t + 1) < len_ref[:]  # [1, B]
-            v_new = jnp.where(keep, v_new, v)
-        o_ref[:] = v_new
+        )  # [Np, unroll·B]
 
-        # single-row patches: dense columns (sublane reduction) + residual
-        specials: dict[int, list] = {}
-        for k, c in enumerate(col_idx):
-            cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)  # [1, B]
-            specials.setdefault(c, []).append(cu)
-        for s, d, k in residual:
-            specials.setdefault(d, []).append(resv_ref[0, k] + v[s : s + 1, :])
-        for row, cands in specials.items():
-            extra = cands[0]
-            for cand in cands[1:]:
-                extra = jnp.minimum(extra, cand)
-            val = em_sel[row : row + 1, :] + jnp.minimum(u[row : row + 1, :], extra)
+        for u in range(unroll):
+            v = o_ref[:]
+            bulk = [
+                dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
+                for k, d in enumerate(diag_offsets)
+            ] + [
+                rv_ref[:, k : k + 1] + v[s : s + 1, :]
+                for k, s in enumerate(row_idx)
+            ]
+            if bulk:
+                acc = bulk[0]
+                for cand in bulk[1:]:
+                    acc = jnp.minimum(acc, cand)
+            else:
+                acc = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
+
+            em_sel = em_all[:, u * BB : (u + 1) * BB]
+            v_new = em_sel + acc
             if masked:
-                val = jnp.where(keep, val, v[row : row + 1, :])
-            o_ref[row : row + 1, :] = val
+                keep = (t * unroll + u + t0 + 1) < len_ref[:]  # [1, B]
+                v_new = jnp.where(keep, v_new, v)
+            o_ref[:] = v_new
+
+            specials: dict[int, list] = {}
+            for k, c in enumerate(col_idx):
+                cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)
+                specials.setdefault(c, []).append(cu)
+            for s, d, k in residual:
+                specials.setdefault(d, []).append(resv_ref[0, k] + v[s : s + 1, :])
+            for row, cands in specials.items():
+                extra = cands[0]
+                for cand in cands[1:]:
+                    extra = jnp.minimum(extra, cand)
+                val = em_sel[row : row + 1, :] + jnp.minimum(
+                    acc[row : row + 1, :], extra
+                )
+                if masked:
+                    val = jnp.where(keep, val, v[row : row + 1, :])
+                o_ref[row : row + 1, :] = val
 
     return kernel
 
@@ -140,8 +142,13 @@ class FusedStructuredDecoder:
         emissions: np.ndarray,
         pi: np.ndarray,
         interpret: bool = False,
+        unroll: int = 2,
     ):
+        # unroll=2 amortizes grid overhead and batches the MXU one-hot dot
+        # (~6% on the 2405 corpus); unroll=4's [Np, 4·B] em_all exceeds the
+        # 16 MB VMEM budget at Np≈2432.
         self.interpret = interpret
+        self.unroll = unroll
         if not fused_eligible(sop):
             raise ValueError(
                 f"operator too irregular for the fused kernel "
@@ -174,7 +181,6 @@ class FusedStructuredDecoder:
         self.em = jnp.asarray(emissions)  # [E, Np] (for v0)
         self.pi = jnp.asarray(pi)  # [Np]
 
-        self._kernels = {m: _make_kernel(sop, m) for m in (False, True)}
         self._jit_run = jax.jit(self._run, static_argnames=("masked",))
 
     def _run(self, seqs_t, lengths, masked: bool = True):
@@ -188,16 +194,40 @@ class FusedStructuredDecoder:
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
         sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
         oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, E_PAD, B]
-        out = self._pallas(v0, oh, lengths, masked)  # [Np, B]
+        t_steps = oh.shape[0]
+        b = oh.shape[2]
+
+        unroll = self.unroll if b == BB else 1
+        chunks, tail = divmod(t_steps, unroll)
+        out = v0
+        if chunks:
+            # merge substeps into the lane dim: [chunks, E, U·B]
+            ohm = (
+                oh[: chunks * unroll]
+                .reshape(chunks, unroll, E_PAD, b)
+                .transpose(0, 2, 1, 3)
+                .reshape(chunks, E_PAD, unroll * b)
+            )
+            out = self._pallas(out, ohm, lengths, masked, unroll, 0)
+        if tail:
+            oht = (
+                oh[chunks * unroll :]
+                .reshape(1, tail, E_PAD, b)
+                .transpose(0, 2, 1, 3)
+                .reshape(1, E_PAD, tail * b)
+            )
+            out = self._pallas(out, oht, lengths, masked, tail, chunks * unroll)
         out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
         return out.T
 
-    def _pallas(self, v0, oh, lengths, masked: bool):
+    def _pallas(self, v0, oh, lengths, masked: bool, unroll: int, t0: int):
         n = self.n
-        t_steps, _, b = oh.shape
-        grid = (b // BB, t_steps)
+        n_chunks, _, ub = oh.shape
+        b = ub // unroll
+        grid = (b // BB, n_chunks)
+        kernel = _make_unrolled_kernel(self.sop, masked, unroll, t0)
         return pl.pallas_call(
-            self._kernels[masked],
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
@@ -214,7 +244,11 @@ class FusedStructuredDecoder:
                     (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((n, E_PAD), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, E_PAD, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, E_PAD, unroll * BB),
+                    lambda i, t: (t, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
