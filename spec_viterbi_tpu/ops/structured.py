@@ -248,7 +248,11 @@ def structured_mv_argmin(
             s_, d_, val_ = e
             cand = val_ + v[s_]  # scalar
             cur_u, cur_s = u[d_], src[d_]
-            better = (cand < cur_u) | ((cand == cur_u) & (s_ < cur_s))
+            # same finite-tie guard as take(): an inf==inf tie must not
+            # adopt the candidate source
+            better = (cand < cur_u) | (
+                (cand == cur_u) & (s_ < cur_s) & jnp.isfinite(cand)
+            )
             u = u.at[d_].set(jnp.where(better, cand, cur_u))
             src = src.at[d_].set(jnp.where(better, s_, cur_s))
             return (u, src), None

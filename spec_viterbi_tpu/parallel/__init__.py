@@ -22,6 +22,7 @@ from spec_viterbi_tpu.parallel.sharded import (
     make_time_parallel_decode,
     make_tp_decode,
 )
+from spec_viterbi_tpu.parallel.distributed import init_distributed, process_info
 from spec_viterbi_tpu.parallel.structured_tp import (
     decode_batch_structured_dp,
     decode_batch_structured_tp,
@@ -44,6 +45,8 @@ __all__ = [
     "make_dp_tp_decode",
     "make_time_parallel_decode",
     "make_tp_decode",
+    "init_distributed",
+    "process_info",
     "decode_batch_structured_dp",
     "decode_batch_structured_tp",
     "make_structured_dp_decode",

@@ -1,0 +1,84 @@
+"""Property sweep: random HMMs across shapes, every path vs the oracle.
+
+The reference's oracle is cross-backend agreement on a fixed corpus; this
+adds randomized coverage the reference lacks — irregular state counts,
+alphabets, degrees, zero-probability patches, and ragged batches.
+"""
+
+import numpy as np
+import pytest
+
+from spec_viterbi_tpu.hmm import HMM, almost_equal_vec, to_modified_prob_np
+from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+from spec_viterbi_tpu.models.oracle import viterbi_path_oracle, viterbi_scores_oracle
+from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+
+
+def _random_hmm(rng, states, emit, deg, zero_frac=0.0):
+    rows = np.repeat(np.arange(states, dtype=np.int64), deg)
+    cols = rng.integers(0, states, size=states * deg).astype(np.int64)
+    probs = rng.uniform(0.01, 1.0, size=states * deg)
+    em = rng.uniform(0.01, 1.0, size=(emit, states))
+    if zero_frac:
+        em[rng.uniform(size=em.shape) < zero_frac] = 0.0  # +inf emissions
+    starts = rng.choice(states, size=max(1, states // 4), replace=False)
+    return HMM(
+        states_num=states,
+        emit_num=emit,
+        trans_rows=rows,
+        trans_cols=cols,
+        trans_probs=to_modified_prob_np(probs),
+        emissions=to_modified_prob_np(em),
+        start_probabilities_cols=np.sort(starts).astype(np.int64),
+        start_probabilities=to_modified_prob_np(
+            rng.uniform(0.01, 1.0, size=starts.size)
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_hmm_all_paths_agree(seed):
+    rng = np.random.default_rng(seed)
+    states = int(rng.integers(2, 150))
+    emit = int(rng.integers(2, 24))
+    deg = int(rng.integers(1, min(6, states) + 1))
+    hmm = _random_hmm(rng, states, emit, deg, zero_frac=0.1 * (seed % 3))
+
+    t = int(rng.integers(1, 60))
+    seq = rng.integers(0, emit, size=t).astype(np.int32)
+    want = viterbi_scores_oracle(hmm, seq)
+
+    for mode in ("dense", "structured"):
+        dec = ViterbiDecoder(hmm, mode=mode)
+        assert almost_equal_vec(dec.decode(seq), want), (seed, mode)
+        assert almost_equal_vec(dec.decode_batch([seq])[0], want), (seed, mode)
+        if t > 1:
+            scores, path = dec.decode_path(seq)
+            oscores, opath = viterbi_path_oracle(hmm, seq)
+            assert almost_equal_vec(scores, oscores), (seed, mode)
+            assert np.array_equal(path, opath), (seed, mode)
+
+    for level in (1, 2):
+        spec = SpecializedViterbi(level=level)
+        spec.spec_with(hmm)
+        assert almost_equal_vec(spec.run_spec(seq), want), (seed, level)
+
+
+def test_single_state_hmm():
+    """Degenerate 1-state model decodes on every path."""
+    rng = np.random.default_rng(0)
+    hmm = _random_hmm(rng, 1, 3, 1)
+    seq = np.array([0, 2, 1], dtype=np.int32)
+    want = viterbi_scores_oracle(hmm, seq)
+    for mode in ("dense", "structured"):
+        assert almost_equal_vec(ViterbiDecoder(hmm, mode=mode).decode(seq), want)
+
+
+def test_init_distributed_single_process(monkeypatch):
+    from spec_viterbi_tpu.parallel import init_distributed, process_info
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert init_distributed() is False
+    info = process_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
