@@ -188,6 +188,14 @@ def _cmd_fasta_to_ess(args) -> int:
     return 0
 
 
+def _cmd_hmmer_to_chmm(args) -> int:
+    from spec_viterbi_tpu.io.hmmer import hmmer_to_chmm
+
+    hmmer_to_chmm(args.hmm, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from spec_viterbi_tpu.io import read_hmm
     from spec_viterbi_tpu.ops.structured import StructuredOperator
@@ -271,6 +279,11 @@ def build_parser() -> argparse.ArgumentParser:
     fe.add_argument("fasta")
     fe.add_argument("out")
     fe.set_defaults(fn=_cmd_fasta_to_ess)
+
+    hc = sub.add_parser("hmmer-to-chmm", help="convert a HMMER3 profile to .chmm")
+    hc.add_argument("hmm")
+    hc.add_argument("out")
+    hc.set_defaults(fn=_cmd_hmmer_to_chmm)
     return p
 
 
