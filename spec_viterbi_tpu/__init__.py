@@ -17,7 +17,7 @@ from spec_viterbi_tpu.hmm import (
     almost_equal_vec,
     to_modified_prob,
 )
-from spec_viterbi_tpu.io import read_hmm, read_emit_seq
+from spec_viterbi_tpu.io import hmmer_to_hmm, read_hmm, read_emit_seq
 from spec_viterbi_tpu.models import (
     DeviceHMM,
     SpecializedViterbi,
@@ -36,6 +36,7 @@ __all__ = [
     "to_modified_prob",
     "read_hmm",
     "read_emit_seq",
+    "hmmer_to_hmm",
     "DeviceHMM",
     "ViterbiDecoder",
     "SpecializedViterbi",
