@@ -260,13 +260,18 @@ class ViterbiDecoder:
     def decode_path_batch(
         self, seqs: list[np.ndarray]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """(scores, path) per sequence.
+        """(scores, path) per sequence, oracle-exact tie-breaking.
 
-        Backpointer storage is O(T·N) per sequence, so paths are decoded
-        one sequence at a time (a [T, N, B] pointer tensor for the long
-        workloads would not fit HBM); the scores-only batched path remains
-        the throughput API.
+        On TPU the fused path kernel decodes the whole batch with int16
+        backpointers in HBM (budgeted — `path_supported`); beyond the
+        budget, or off-TPU, sequences decode one at a time.
         """
+        if not seqs:
+            return []
+        if self._fused is not None and self._fused.path_supported(
+            max(len(s) for s in seqs), len(seqs)
+        ):
+            return self._fused.decode_path_batch(seqs)
         return [self.decode_path(s) for s in seqs]
 
     def prepare_batch(self, seqs: list[np.ndarray]):

@@ -133,6 +133,104 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
     return kernel
 
 
+def _make_path_kernel(sop: StructuredOperator, masked: bool):
+    """Score+backpointer kernel: tracks (value, source-state) pairs.
+
+    Tie-breaking is the framework contract — globally lowest source index,
+    with inf==inf ties never adopting a candidate — so emitted paths are
+    bit-identical to the NumPy oracle's. Each step stores the winning
+    source per state as int16 (states ≤ 32767); backtrace is then a cheap
+    per-lane gather scan outside the kernel. Frozen (masked) steps store
+    identity pointers so backtrace through padding is a no-op.
+    """
+    diag_offsets = sop.diag_offsets
+    row_idx = sop.row_idx
+    col_idx = sop.col_idx
+    residual = list(
+        zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
+    )
+
+    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, oh_ref, len_ref, o_ref, src_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            o_ref[:] = v0_ref[:]
+
+        v = o_ref[:]
+        rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+
+        def take(u, src, cand, cand_src):
+            better = (cand < u) | (
+                (cand == u) & (cand_src < src) & jnp.isfinite(cand)
+            )
+            return jnp.where(better, cand, u), jnp.where(better, cand_src, src)
+
+        u = src = None
+        for k, d in enumerate(diag_offsets):
+            cand = dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
+            cand_src = rows - d
+            if u is None:
+                u = cand
+                src = jnp.where(jnp.isfinite(cand), cand_src, jnp.int32(2**30))
+            else:
+                u, src = take(u, src, cand, cand_src)
+        for k, s in enumerate(row_idx):
+            cand = rv_ref[:, k : k + 1] + v[s : s + 1, :]
+            cand_src = jnp.full(v.shape, s, jnp.int32)
+            if u is None:
+                u = cand
+                src = jnp.where(jnp.isfinite(cand), cand_src, jnp.int32(2**30))
+            else:
+                u, src = take(u, src, cand, cand_src)
+        if u is None:
+            u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
+            src = jnp.full(v.shape, 2**30, jnp.int32)
+
+        em_sel = jnp.dot(
+            em_ref[:],
+            oh_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        v_new = em_sel + u
+        src_out = jnp.where(src == 2**30, 0, src)
+        if masked:
+            keep = (t + 1) < len_ref[:]  # [1, B]
+            v_new = jnp.where(keep, v_new, v)
+            src_out = jnp.where(keep, src_out, rows)  # identity pointer
+        o_ref[:] = v_new
+        src_ref[0] = src_out.astype(jnp.int16)
+
+        # single-row patches: dense cols (with their own argmin) + residual
+        specials: dict[int, list] = {}
+        for k, c in enumerate(col_idx):
+            s_full = cv_ref[:, k : k + 1] + v  # [Np, B]
+            cu = jnp.min(s_full, axis=0, keepdims=True)
+            cs = jnp.argmin(s_full, axis=0).astype(jnp.int32)[None, :]
+            specials.setdefault(c, []).append((cu, cs))
+        for s, d, k in residual:
+            cand = resv_ref[0, k] + v[s : s + 1, :]
+            specials.setdefault(d, []).append(
+                (cand, jnp.full(cand.shape, s, jnp.int32))
+            )
+        for row, cands in specials.items():
+            pu, ps = u[row : row + 1, :], src[row : row + 1, :]
+            for cu, cs in cands:
+                better = (cu < pu) | ((cu == pu) & (cs < ps) & jnp.isfinite(cu))
+                pu = jnp.where(better, cu, pu)
+                ps = jnp.where(better, cs, ps)
+            val = em_sel[row : row + 1, :] + pu
+            ps = jnp.where(ps == 2**30, 0, ps)
+            if masked:
+                val = jnp.where(keep, val, v[row : row + 1, :])
+                ps = jnp.where(keep, ps, row)
+            o_ref[row : row + 1, :] = val
+            src_ref[0, row : row + 1, :] = ps.astype(jnp.int16)
+
+    return kernel
+
+
 class FusedStructuredDecoder:
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
@@ -182,6 +280,7 @@ class FusedStructuredDecoder:
         self.pi = jnp.asarray(pi)  # [Np]
 
         self._jit_run = jax.jit(self._run, static_argnames=("masked",))
+        self._jit_run_path = jax.jit(self._run_path, static_argnames=("masked",))
 
     def _run(self, seqs_t, lengths, masked: bool = True):
         """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
@@ -255,6 +354,93 @@ class FusedStructuredDecoder:
             out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
+
+    def _run_path(self, seqs_t, lengths, masked: bool = True):
+        """Fused decode emitting (scores [B, Np], paths [B, T]).
+
+        The kernel stores the winning source state per (step, state, lane)
+        as int16; backtrace is a reverse per-lane gather scan on device, so
+        only the [B, T] paths cross back to the host.
+        """
+        n = self.n
+        t_total, b = seqs_t.shape
+        v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
+        sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
+        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)
+        t_steps = t_total - 1
+
+        kernel = _make_path_kernel(self.sop, masked)
+        out, src = pl.pallas_call(
+            kernel,
+            grid=(b // BB, t_steps),
+            in_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.rv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.cv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((n, E_PAD), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, E_PAD, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, n, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, b), jnp.float32),
+                jax.ShapeDtypeStruct((t_steps, n, b), jnp.int16),
+            ],
+            interpret=self.interpret,
+        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
+
+        scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [Np, B]
+        last = jnp.argmin(scores, axis=0).astype(jnp.int32)  # [B]
+
+        def back(state, src_t):
+            prev = jnp.take_along_axis(
+                src_t.astype(jnp.int32), state[None, :], axis=0
+            )[0]
+            return prev, prev
+
+        _, rev = jax.lax.scan(back, last, src, reverse=True)  # [t_steps, B]
+        path = jnp.concatenate([rev, last[None, :]], axis=0)  # [T, B]
+        return scores.T, path.T
+
+    # HBM budget for the int16 backpointer tensor before falling back to
+    # the per-sequence XLA path decode.
+    MAX_PATH_BYTES = 6 << 30
+
+    def path_supported(self, t_max: int, batch: int = BB) -> bool:
+        b_pad = ((batch + BB - 1) // BB) * BB
+        return max(0, t_max - 1) * self.n * b_pad * 2 <= self.MAX_PATH_BYTES
+
+    def decode_path_batch(
+        self, seqs: list[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """[(scores, path)] per sequence, exact oracle tie-breaking."""
+        if not seqs:
+            return []
+        seqs_t, lengths, masked = self.prepare(seqs)
+        scores, paths = self._jit_run_path(seqs_t, lengths, masked=masked)
+        scores = np.asarray(scores)
+        paths = np.asarray(paths)
+        return [
+            (scores[i, : self.states_num], paths[i, : len(s)].astype(np.int32))
+            for i, s in enumerate(seqs)
+        ]
 
     def prepare(self, seqs: list[np.ndarray]):
         """Pad/transfer a batch once; returns (seqs_t, lengths, masked).

@@ -64,6 +64,34 @@ def test_fused_residual_entries():
         assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq)), t
 
 
+def test_fused_path_kernel_matches_oracle():
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in (2, 31, 60)]
+    got = fd.decode_path_batch(seqs)
+    for (scores, path), s in zip(got, seqs):
+        oscores, opath = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(scores, oscores), len(s)
+        assert np.array_equal(path, opath), len(s)
+
+
+def test_fused_path_kernel_ragged_and_residual():
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in (9, 3, 6)]
+    got = fd.decode_path_batch(seqs)
+    for (scores, path), s in zip(got, seqs):
+        oscores, opath = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(scores, oscores), len(s)
+        assert np.array_equal(path, opath), len(s)
+
+
 def test_fused_ragged_lengths_frozen_lanes():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
