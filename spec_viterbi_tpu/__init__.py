@@ -21,6 +21,7 @@ from spec_viterbi_tpu.io import hmmer_to_hmm, read_hmm, read_emit_seq
 from spec_viterbi_tpu.models import (
     DeviceHMM,
     SpecializedViterbi,
+    StructuredSpecializedViterbi,
     ViterbiDecoder,
     viterbi_path_oracle,
     viterbi_scores_oracle,
@@ -40,6 +41,7 @@ __all__ = [
     "DeviceHMM",
     "ViterbiDecoder",
     "SpecializedViterbi",
+    "StructuredSpecializedViterbi",
     "viterbi_scores_oracle",
     "viterbi_path_oracle",
 ]

@@ -6,6 +6,7 @@ from spec_viterbi_tpu.models.oracle import (
     viterbi_path_oracle,
 )
 from spec_viterbi_tpu.models.decoder import DeviceHMM, ViterbiDecoder
+from spec_viterbi_tpu.models.spec_structured import StructuredSpecializedViterbi
 from spec_viterbi_tpu.models.specializer import SpecializedViterbi
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "DeviceHMM",
     "ViterbiDecoder",
     "SpecializedViterbi",
+    "StructuredSpecializedViterbi",
 ]

@@ -1,0 +1,95 @@
+"""Structured level-L specialization vs the dense specializer and oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CHMM_DIR, TEST_CHMMS, TEST_SEQS
+
+from spec_viterbi_tpu.hmm import almost_equal_vec
+from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+from spec_viterbi_tpu.models.spec_structured import StructuredSpecializedViterbi
+from spec_viterbi_tpu.models.specializer import SpecializedViterbi
+from spec_viterbi_tpu.ops import structured_compose as sc
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+
+def test_composition_algebra_matches_dense_products():
+    """Closure rules vs dense tropical matmuls on a production model."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    n = hmm.padded_states
+    sop = StructuredOperator.from_hmm(hmm, pad_to=n)
+    comps = sc.from_structured(sop)
+    at = hmm.transposed_transition_matrix(pad_to=n)
+    mask = lambda a: np.where(np.isinf(a), -1.0, a)
+    np.testing.assert_array_equal(mask(sc.to_dense(comps, n)), mask(at))
+
+    em = hmm.emission_matrix(pad_to=n)
+
+    def sym_op(o):
+        return [
+            sc.Diag(c.offset, c.vals + em[o])
+            if isinstance(c, sc.Diag)
+            else sc.Rank1(c.u + em[o], c.w)
+            for c in comps
+        ]
+
+    m0, m1 = sym_op(0), sym_op(1)
+    d0, d1 = sc.to_dense(m0, n), sc.to_dense(m1, n)
+    ref = np.min(d1[:, :, None] + d0[None, :, :], axis=1)
+    got = sc.to_dense(sc.compose(m1, m0), n)
+    np.testing.assert_allclose(mask(got), mask(ref), atol=1e-4)
+
+
+def test_component_growth_is_small():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "500.chmm"))
+    spec = StructuredSpecializedViterbi(level=2)
+    spec.spec_with(hmm)
+    assert spec.num_components <= 12  # vs a dense N×N matrix per tuple
+    # level-2 memory: E²·C·N floats ≪ E²·N² dense
+    dense_bytes = SpecializedViterbi.spec_memory_bytes(hmm.states_num, hmm.emit_num, 2)
+    structured_bytes = (
+        hmm.emit_num**2 * spec.num_components * hmm.padded_states * 4
+    )
+    assert structured_bytes < dense_bytes / 20
+
+
+@pytest.mark.parametrize("level", [1, 2, 3])
+@pytest.mark.parametrize("i", range(4))
+def test_structured_spec_fixture_golden(fixture_paths, i, level):
+    chmm_path, ess_path = fixture_paths[i]
+    hmm = read_hmm(chmm_path)
+    seq = read_emit_seq(ess_path)[0]
+    spec = StructuredSpecializedViterbi(level=level)
+    spec.spec_with(hmm)
+    got = spec.run_spec(seq)
+    assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq)), (i, level)
+
+
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_structured_spec_matches_dense_spec_on_corpus(level):
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    rng = np.random.default_rng(19)
+    s_spec = StructuredSpecializedViterbi(level=level)
+    s_spec.spec_with(hmm)
+    d_spec = SpecializedViterbi(level=level)
+    d_spec.spec_with(hmm)
+    for t in (1, 2, 5, 64, 101):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        got = s_spec.run_spec(seq)
+        assert almost_equal_vec(got, d_spec.run_spec(seq)), (level, t)
+        assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq)), (level, t)
+
+
+def test_structured_spec_respecialization(fixture_paths):
+    spec = StructuredSpecializedViterbi(level=2)
+    h0 = read_hmm(fixture_paths[0][0])
+    h1 = read_hmm(fixture_paths[1][0])
+    s0 = read_emit_seq(fixture_paths[0][1])[0]
+    s1 = read_emit_seq(fixture_paths[1][1])[0]
+    spec.spec_with(h0)
+    assert almost_equal_vec(spec.run_spec(s0), viterbi_scores_oracle(h0, s0))
+    spec.spec_with(h1)
+    assert almost_equal_vec(spec.run_spec(s1), viterbi_scores_oracle(h1, s1))
