@@ -92,42 +92,47 @@ def benchmark_viterbi_spec_impls_to_dat_file(
     ``bench_Viterbi_spec.h:37-47``): level L needs ``E^L·N²·4`` bytes of
     tuple operators; models over budget get NaN columns at that level.
     """
+    from spec_viterbi_tpu.models.spec_structured import StructuredSpecializedViterbi
+
     seqs = read_emit_seq(ess_path)
+    impls = (("spec", SpecializedViterbi), ("spec_struct", StructuredSpecializedViterbi))
     headers = ["States"]
-    for level in levels:
-        headers += [f"spec_{level}_prep", f"spec_{level}"]
+    for name, _ in impls:
+        for level in levels:
+            headers += [f"{name}_{level}_prep", f"{name}_{level}"]
 
     bench: dict[int, list[float]] = {}
     for path, hmm in _iter_models(chmm_dir, max_states):
         if verbose:
             print(f"[bench-spec] {os.path.basename(path)} ({hmm.states_num} states)")
         row: list[float] = []
-        for level in levels:
-            need = SpecializedViterbi.spec_memory_bytes(
-                hmm.states_num, hmm.emit_num, level
-            )
-            if need > max_spec_bytes:
-                row += [float("nan"), float("nan")]
-                continue
-            spec = SpecializedViterbi(level=level)
+        for name, cls in impls:
+            for level in levels:
+                # the dense specializer hits the reference's memory wall;
+                # the structured one stores O(N) vectors per component
+                need = cls.spec_memory_bytes(hmm.states_num, hmm.emit_num, level)
+                if need > max_spec_bytes:
+                    row += [float("nan"), float("nan")]
+                    continue
+                spec = cls(level=level)
 
-            def prep():
-                spec.spec_with(hmm)
+                def prep():
+                    spec.spec_with(hmm)
 
-            prep()  # compile
-            prep_t = harness.get_median(
-                harness.get_sorted_run_times(prep, times_to_run)
-            )
+                prep()  # compile
+                prep_t = harness.get_median(
+                    harness.get_sorted_run_times(prep, times_to_run)
+                )
 
-            def run():
-                for s in seqs:
-                    spec.run_spec(s)
+                def run():
+                    for s in seqs:
+                        spec.run_spec(s)
 
-            run()  # compile per sequence length
-            run_t = harness.get_median(
-                harness.get_sorted_run_times(run, times_to_run)
-            )
-            row += [prep_t, run_t]
+                run()  # compile per sequence length
+                run_t = harness.get_median(
+                    harness.get_sorted_run_times(run, times_to_run)
+                )
+                row += [prep_t, run_t]
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench-spec]   -> {row}")

@@ -65,7 +65,11 @@ def test_spec_bench_driver_with_memory_policy(tmp_path):
         verbose=False,
     )
     header = out.read_text().splitlines()[0].split("\t")
-    assert header == ["States", "spec_1_prep", "spec_1", "spec_2_prep", "spec_2"]
+    assert header == [
+        "States",
+        "spec_1_prep", "spec_1", "spec_2_prep", "spec_2",
+        "spec_struct_1_prep", "spec_struct_1", "spec_struct_2_prep", "spec_struct_2",
+    ]
     for row in bench.values():
         assert all(np.isnan(v) for v in row)  # memory policy engaged
 
