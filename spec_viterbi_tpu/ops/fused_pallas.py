@@ -231,6 +231,28 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
     return kernel
 
 
+def _backtrace_kernel(src_ref, last_ref, path_ref, state_ref):
+    """Reverse path walk: one grid step per (reversed) time step.
+
+    The per-lane gather ``src[state[b], b]`` has no VPU primitive; it is
+    computed as a one-hot select: mask rows where ``iota == state`` and
+    min-reduce over states (exactly one row survives). The running state
+    vector persists across grid steps in VMEM scratch.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        state_ref[:] = last_ref[:]
+
+    state = state_ref[:]  # [1, B] int32
+    rows = jax.lax.broadcasted_iota(jnp.int32, src_ref.shape[1:], 0)  # [Np, B]
+    sel = jnp.where(rows == state, src_ref[0].astype(jnp.int32), 2**30)
+    prev = jnp.min(sel, axis=0, keepdims=True)  # [1, B]
+    state_ref[:] = prev
+    path_ref[0] = prev
+
+
 class FusedStructuredDecoder:
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
@@ -407,16 +429,28 @@ class FusedStructuredDecoder:
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
 
         scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [Np, B]
-        last = jnp.argmin(scores, axis=0).astype(jnp.int32)  # [B]
+        last = jnp.argmin(scores, axis=0).astype(jnp.int32)[None, :]  # [1, B]
 
-        def back(state, src_t):
-            prev = jnp.take_along_axis(
-                src_t.astype(jnp.int32), state[None, :], axis=0
-            )[0]
-            return prev, prev
-
-        _, rev = jax.lax.scan(back, last, src, reverse=True)  # [t_steps, B]
-        path = jnp.concatenate([rev, last[None, :]], axis=0)  # [T, B]
+        t_rev = t_steps  # captured for the reversed index maps
+        rev = pl.pallas_call(
+            _backtrace_kernel,
+            grid=(b // BB, t_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n, BB),
+                    lambda i, t: (t_rev - 1 - t, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, BB), lambda i, t: (t_rev - 1 - t, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((t_steps, 1, b), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
+            interpret=self.interpret,
+        )(src, last)
+        path = jnp.concatenate([rev[:, 0, :], last], axis=0)  # [T, B]
         return scores.T, path.T
 
     # HBM budget for the int16 backpointer tensor before falling back to
