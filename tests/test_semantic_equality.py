@@ -25,6 +25,7 @@ from spec_viterbi_tpu.hmm import almost_equal_vec
 from spec_viterbi_tpu.io import read_emit_seq, read_hmm
 from spec_viterbi_tpu.models.decoder import ViterbiDecoder
 from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+from spec_viterbi_tpu.models.spec_structured import StructuredSpecializedViterbi
 from spec_viterbi_tpu.models.specializer import SpecializedViterbi
 
 FULL = bool(os.environ.get("SVT_FULL_EQUALITY"))
@@ -60,12 +61,15 @@ def test_all_paths_agree(model, sequences):
     for level in (1, 2):
         if (
             SpecializedViterbi.spec_memory_bytes(hmm.states_num, hmm.emit_num, level)
-            > 2 << 30
-        ):
-            continue  # reference memory policy (test_semantic_equality.cpp:45-46)
-        s = SpecializedViterbi(level=level)
-        s.spec_with(hmm)
-        spec_impls[f"spec_L{level}"] = s
+            <= 2 << 30
+        ):  # reference memory policy (test_semantic_equality.cpp:45-46)
+            s = SpecializedViterbi(level=level)
+            s.spec_with(hmm)
+            spec_impls[f"spec_L{level}"] = s
+        # the structured specializer has no dense memory wall
+        ss = StructuredSpecializedViterbi(level=level)
+        ss.spec_with(hmm)
+        spec_impls[f"spec_struct_L{level}"] = ss
 
     for seq in sequences:
         results = {name: d.decode(seq) for name, d in non_spec.items()}
