@@ -54,8 +54,17 @@ def benchmark_viterbi_impls_to_dat_file(
     seqs = read_emit_seq(ess_path)
     bench: dict[int, list[float]] = {}
     for path, hmm in _iter_models(chmm_dir, max_states):
+        if hmm.states_num in bench:
+            # .dat rows are keyed by state count (benchmark_helper.h:68-89);
+            # a second same-size model would corrupt the table — skip it.
+            print(
+                f"[bench] skipping {os.path.basename(path)}: a model with "
+                f"{hmm.states_num} states was already benchmarked"
+            )
+            continue
         if verbose:
             print(f"[bench] {os.path.basename(path)} ({hmm.states_num} states)")
+        row: list[float] = []
         for mode in modes:
             dec = ViterbiDecoder(hmm, mode=mode)
             handle = dec.prepare_batch(seqs)
@@ -64,10 +73,12 @@ def benchmark_viterbi_impls_to_dat_file(
                 harness.block_output(dec.run_batch(handle))
 
             run()  # warmup/compile outside the timed runs
-            t = harness.get_median(harness.get_sorted_run_times(run, times_to_run))
-            bench.setdefault(hmm.states_num, []).append(t)
+            row.append(
+                harness.get_median(harness.get_sorted_run_times(run, times_to_run))
+            )
+        bench[hmm.states_num] = row
         if verbose:
-            print(f"[bench]   -> {bench[hmm.states_num]}")
+            print(f"[bench]   -> {row}")
     harness.print_benchmarks_to_file_as_dat(
         out_path, ["States", *modes], bench
     )
@@ -103,6 +114,12 @@ def benchmark_viterbi_spec_impls_to_dat_file(
 
     bench: dict[int, list[float]] = {}
     for path, hmm in _iter_models(chmm_dir, max_states):
+        if hmm.states_num in bench:
+            print(
+                f"[bench-spec] skipping {os.path.basename(path)}: a model "
+                f"with {hmm.states_num} states was already benchmarked"
+            )
+            continue
         if verbose:
             print(f"[bench-spec] {os.path.basename(path)} ({hmm.states_num} states)")
         row: list[float] = []

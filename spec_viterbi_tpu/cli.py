@@ -110,15 +110,9 @@ def _cmd_bench_scaling(args) -> int:
     for d in sizes:
         mesh = make_mesh(data=d)
         fn = make_structured_dp_decode(sop, mesh)
-        chunk = d * 8
-        b = len(seqs)
-        b_pad = ((b + chunk - 1) // chunk) * chunk
-        t_max = max(2, max(len(s) for s in seqs))
-        batch = np.zeros((b_pad, t_max), dtype=np.int32)
-        lengths = np.zeros(b_pad, dtype=np.int32)
-        for i, s in enumerate(seqs):
-            batch[i, : len(s)] = s
-            lengths[i] = len(s)
+        from spec_viterbi_tpu.utils.batching import pad_batch
+
+        batch, lengths = pad_batch(seqs, d * 8, min_t=2)
         bt = jnp.asarray(batch.T.copy())
         ln = jnp.asarray(lengths)
         np.asarray(fn(em_t, pi, bt, ln))  # compile + warmup

@@ -21,7 +21,12 @@ AMINO2NUM = {
 
 
 def fasta_to_sequences(path: str | os.PathLike) -> list[np.ndarray]:
-    """Parse a FASTA file into int32 symbol arrays (one per record)."""
+    """Parse a FASTA file into int32 symbol arrays (one per record).
+
+    Residues are upper-cased first (soft-masked FASTA is common); an
+    unmapped code raises a clear error naming the residue and record
+    instead of a bare KeyError.
+    """
     seqs: list[np.ndarray] = []
     cur: list[int] = []
     with open(os.fspath(path), "r") as f:
@@ -34,7 +39,14 @@ def fasta_to_sequences(path: str | os.PathLike) -> list[np.ndarray]:
                     seqs.append(np.asarray(cur, dtype=np.int32))
                 cur = []
             else:
-                cur.extend(AMINO2NUM[ch] for ch in line)
+                for ch in line.upper():
+                    sym = AMINO2NUM.get(ch)
+                    if sym is None:
+                        raise ValueError(
+                            f"{path}: unsupported residue {ch!r} in record "
+                            f"{len(seqs)} (alphabet is the 20 amino acids + X)"
+                        )
+                    cur.append(sym)
     if cur:
         seqs.append(np.asarray(cur, dtype=np.int32))
     return seqs

@@ -26,6 +26,7 @@ import numpy as np
 from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.ops import dispatch
 from spec_viterbi_tpu.ops import fused_pallas
+from spec_viterbi_tpu.utils.batching import pad_batch
 from spec_viterbi_tpu.ops.structured import (
     StructuredOperator,
     structured_mv,
@@ -284,17 +285,10 @@ class ViterbiDecoder:
         """
         if self._fused is not None:
             return self._fused.prepare(seqs)
-        b = len(seqs)
         # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
         # paths only need the f32 sublane.
         lane = 128 if self.use_pallas else SUBLANE
-        b_pad = ((b + lane - 1) // lane) * lane
-        t_max = max(len(s) for s in seqs)
-        batch = np.zeros((b_pad, t_max), dtype=np.int32)
-        lengths = np.zeros(b_pad, dtype=np.int32)
-        for i, s in enumerate(seqs):
-            batch[i, : len(s)] = s
-            lengths[i] = len(s)
+        batch, lengths = pad_batch(seqs, lane)
         if self.mode == "structured":
             return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
         return jnp.asarray(batch), jnp.asarray(lengths)

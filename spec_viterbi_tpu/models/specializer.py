@@ -39,8 +39,8 @@ from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.ops import dispatch
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _build_level1(a_t, pi, em, use_pallas: bool):
+@jax.jit
+def _build_level1(a_t, pi, em):
     start_ops = em + pi[None, :]  # [E, Np]
     ops = em[:, :, None] + a_t[None, :, :]  # [E, Np, Np]
     return start_ops, ops
@@ -160,45 +160,15 @@ class SpecializedViterbi:
         """
         self._specialized = False
         self.start_ops = self.ops = self.tuple_ops = None
-
-        np_states = pad_to_lane(hmm.states_num) if self.pad else hmm.states_num
-
-        cached = None
-        if self.cache is not None:
-            cached = self.cache.load(hmm.fingerprint(), self.level, np_states)
-        if cached is not None:
-            start_ops = jnp.asarray(cached["start_ops"])
-            ops = jnp.asarray(cached["ops"])
-            tuple_ops = jnp.asarray(cached["tuple_ops"])
-        else:
-            a_t = jnp.asarray(hmm.transposed_transition_matrix(pad_to=np_states))
-            pi = jnp.asarray(hmm.start_vector(pad_to=np_states))
-            em = jnp.asarray(hmm.emission_matrix(pad_to=np_states))
-
-            start_ops, ops = _build_level1(a_t, pi, em, self.use_pallas)
-            tuple_ops = ops
-            if self.level > 1:
-                ops_t = jnp.transpose(ops, (0, 2, 1))
-                for _ in range(self.level - 1):
-                    tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
-            if self.cache is not None:
-                self.cache.store(
-                    hmm.fingerprint(),
-                    self.level,
-                    np_states,
-                    {
-                        "start_ops": np.asarray(start_ops),
-                        "ops": np.asarray(ops),
-                        "tuple_ops": np.asarray(tuple_ops),
-                    },
-                )
-
-        self.start_ops = start_ops
-        self.ops = ops
-        self.tuple_ops = tuple_ops
         self.states_num = hmm.states_num
         self.emit_num = hmm.emit_num
 
+        np_states = pad_to_lane(hmm.states_num) if self.pad else hmm.states_num
+
+        # At level 1, a structured-eligible HMM decodes through the
+        # structured/fused path, which precomputes its own (tiny) operator
+        # vectors — building and caching the dense [E, Np, Np] stack would
+        # only pin ~E·Np²·4 bytes of HBM that run_spec never touches.
         self._delegate = None
         if self.level == 1 and self.pad:
             from spec_viterbi_tpu.models.decoder import ViterbiDecoder
@@ -206,6 +176,42 @@ class SpecializedViterbi:
             dec = ViterbiDecoder(hmm, mode="auto")
             if dec.mode == "structured":
                 self._delegate = dec
+                self._specialized = True
+                return
+
+        cached = None
+        if self.cache is not None:
+            cached = self.cache.load(hmm.fingerprint(), self.level, np_states)
+        if cached is not None:
+            start_ops = jnp.asarray(cached["start_ops"])
+            ops = jnp.asarray(cached["ops"])
+            # level 1's tuple_ops ARE the level-1 ops (not stored twice)
+            tuple_ops = (
+                jnp.asarray(cached["tuple_ops"]) if "tuple_ops" in cached else ops
+            )
+        else:
+            a_t = jnp.asarray(hmm.transposed_transition_matrix(pad_to=np_states))
+            pi = jnp.asarray(hmm.start_vector(pad_to=np_states))
+            em = jnp.asarray(hmm.emission_matrix(pad_to=np_states))
+
+            start_ops, ops = _build_level1(a_t, pi, em)
+            tuple_ops = ops
+            if self.level > 1:
+                ops_t = jnp.transpose(ops, (0, 2, 1))
+                for _ in range(self.level - 1):
+                    tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
+            if self.cache is not None:
+                arrays = {
+                    "start_ops": np.asarray(start_ops),
+                    "ops": np.asarray(ops),
+                }
+                if self.level > 1:
+                    arrays["tuple_ops"] = np.asarray(tuple_ops)
+                self.cache.store(hmm.fingerprint(), self.level, np_states, arrays)
+
+        self.start_ops = start_ops
+        self.ops = ops
+        self.tuple_ops = tuple_ops
         self._specialized = True
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:

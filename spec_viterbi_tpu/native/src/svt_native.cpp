@@ -4,8 +4,8 @@
 // (Viterbi_impl/data_reader.cpp): same formats, same −log2 conversion at
 // load (data_reader.cpp:41,54,71), emissions transposed to [symbol][state]
 // (data_reader.cpp:49-57), and the .ess sequence-numbering validation
-// (data_reader.cpp:111-119). Re-designed rather than ported: one mmap'd
-// buffer with a branch-light float scanner instead of iostream operator>>,
+// (data_reader.cpp:111-119). Re-designed rather than ported: one
+// NUL-terminated buffer with a branch-light float scanner instead of iostream operator>>,
 // exposed through a flat C ABI consumed via ctypes (no pybind11 in the
 // image). A parse error returns nullptr and the Python fallback re-parses
 // to raise a precise exception.
@@ -20,10 +20,10 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <string>
 #include <vector>
 
 #include <fcntl.h>
-#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -70,25 +70,36 @@ struct Scanner {
     }
 };
 
+// Reads the whole file into a NUL-terminated buffer. strtod/strtoll need a
+// terminator; a raw mmap would let them scan past the mapping when the last
+// token ends exactly at a page boundary.
 struct MappedFile {
-    void* data = nullptr;
-    std::size_t size = 0;
-    int fd = -1;
+    std::string buf;
 
     bool open_file(const char* path) {
-        fd = ::open(path, O_RDONLY);
+        int fd = ::open(path, O_RDONLY);
         if (fd < 0) return false;
         struct stat st;
-        if (::fstat(fd, &st) != 0 || st.st_size == 0) return false;
-        size = static_cast<std::size_t>(st.st_size);
-        data = ::mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-        return data != MAP_FAILED;
+        if (::fstat(fd, &st) != 0 || st.st_size == 0) {
+            ::close(fd);
+            return false;
+        }
+        buf.resize(static_cast<std::size_t>(st.st_size));
+        std::size_t off = 0;
+        while (off < buf.size()) {
+            ssize_t got = ::read(fd, buf.data() + off, buf.size() - off);
+            if (got <= 0) {
+                ::close(fd);
+                return false;
+            }
+            off += static_cast<std::size_t>(got);
+        }
+        ::close(fd);
+        return true;
     }
 
-    ~MappedFile() {
-        if (data != nullptr && data != MAP_FAILED) ::munmap(data, size);
-        if (fd >= 0) ::close(fd);
-    }
+    const char* data() const { return buf.c_str(); }  // NUL-terminated
+    std::size_t size() const { return buf.size(); }
 };
 
 }  // namespace
@@ -110,8 +121,7 @@ struct SvtHmm {
 void* svt_read_hmm(const char* path) {
     MappedFile f;
     if (!f.open_file(path)) return nullptr;
-    Scanner sc{static_cast<const char*>(f.data),
-               static_cast<const char*>(f.data) + f.size};
+    Scanner sc{f.data(), f.data() + f.size()};
 
     auto hmm = new SvtHmm();
     std::int64_t n = 0, s = 0, e = 0, t = 0;
@@ -197,8 +207,7 @@ struct SvtEss {
 void* svt_read_ess(const char* path) {
     MappedFile f;
     if (!f.open_file(path)) return nullptr;
-    Scanner sc{static_cast<const char*>(f.data),
-               static_cast<const char*>(f.data) + f.size};
+    Scanner sc{f.data(), f.data() + f.size()};
 
     auto ess = new SvtEss();
     std::int64_t count = 0;

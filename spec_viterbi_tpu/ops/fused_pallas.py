@@ -37,9 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spec_viterbi_tpu.hmm import MOD_PROB_DTYPE
 from spec_viterbi_tpu.ops.structured import StructuredOperator
+from spec_viterbi_tpu.utils.batching import pad_batch
 
 BB = 128  # batch (lane) block
-E_PAD = 32  # one-hot contraction pad (MXU sublane tile for f32 is 8; 32 covers E=20)
+E_PAD = 32  # minimum one-hot contraction pad; grows in 32s for big alphabets
 
 # Finite stand-in for the semiring zero inside the MXU matmul; scores at or
 # beyond BIG_THRESHOLD are +inf semantically (cuASR_helper.cu:157-162 analog).
@@ -161,8 +162,11 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
         rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
 
         def take(u, src, cand, cand_src):
+            # "semantically infinite" covers both true +inf and the BIG
+            # range the MXU clamp produces; such ties never adopt a source,
+            # matching the oracle's all-inf-row -> pointer 0 behavior
             better = (cand < u) | (
-                (cand == u) & (cand_src < src) & jnp.isfinite(cand)
+                (cand == u) & (cand_src < src) & (cand < BIG_THRESHOLD)
             )
             return jnp.where(better, cand, u), jnp.where(better, cand_src, src)
 
@@ -172,7 +176,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             cand_src = rows - d
             if u is None:
                 u = cand
-                src = jnp.where(jnp.isfinite(cand), cand_src, jnp.int32(2**30))
+                src = jnp.where(cand < BIG_THRESHOLD, cand_src, jnp.int32(2**30))
             else:
                 u, src = take(u, src, cand, cand_src)
         for k, s in enumerate(row_idx):
@@ -180,7 +184,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             cand_src = jnp.full(v.shape, s, jnp.int32)
             if u is None:
                 u = cand
-                src = jnp.where(jnp.isfinite(cand), cand_src, jnp.int32(2**30))
+                src = jnp.where(cand < BIG_THRESHOLD, cand_src, jnp.int32(2**30))
             else:
                 u, src = take(u, src, cand, cand_src)
         if u is None:
@@ -194,7 +198,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             precision=jax.lax.Precision.HIGHEST,
         )
         v_new = em_sel + u
-        src_out = jnp.where(src == 2**30, 0, src)
+        src_out = jnp.where((src == 2**30) | (u >= BIG_THRESHOLD), 0, src)
         if masked:
             keep = (t + 1) < len_ref[:]  # [1, B]
             v_new = jnp.where(keep, v_new, v)
@@ -217,11 +221,11 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
         for row, cands in specials.items():
             pu, ps = u[row : row + 1, :], src[row : row + 1, :]
             for cu, cs in cands:
-                better = (cu < pu) | ((cu == pu) & (cs < ps) & jnp.isfinite(cu))
+                better = (cu < pu) | ((cu == pu) & (cs < ps) & (cu < BIG_THRESHOLD))
                 pu = jnp.where(better, cu, pu)
                 ps = jnp.where(better, cs, ps)
             val = em_sel[row : row + 1, :] + pu
-            ps = jnp.where(ps == 2**30, 0, ps)
+            ps = jnp.where((ps == 2**30) | (pu >= BIG_THRESHOLD), 0, ps)
             if masked:
                 val = jnp.where(keep, val, v[row : row + 1, :])
                 ps = jnp.where(keep, ps, row)
@@ -295,9 +299,10 @@ class FusedStructuredDecoder:
             resv[0, : sop.residual_nnz] = sop.res_vals
         self.resv = jnp.asarray(resv)
 
-        em_pad = np.full((n, E_PAD), BIG, dtype=MOD_PROB_DTYPE)
+        self.e_pad = max(E_PAD, ((self.emit_num + 31) // 32) * 32)
+        em_pad = np.full((n, self.e_pad), BIG, dtype=MOD_PROB_DTYPE)
         em_pad[:, : self.emit_num] = np.minimum(emissions.T, BIG)
-        self.em_clamped = jnp.asarray(em_pad)  # [Np, E_PAD]
+        self.em_clamped = jnp.asarray(em_pad)  # [Np, e_pad]
         self.em = jnp.asarray(emissions)  # [E, Np] (for v0)
         self.pi = jnp.asarray(pi)  # [Np]
 
@@ -313,8 +318,8 @@ class FusedStructuredDecoder:
         Returns [B, Np] scores with ``BIG``-range values mapped to +inf.
         """
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
-        sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
-        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, E_PAD, B]
+        sym = jax.lax.broadcasted_iota(jnp.int32, (1, self.e_pad, 1), 1)
+        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, e_pad, B]
         t_steps = oh.shape[0]
         b = oh.shape[2]
 
@@ -325,17 +330,17 @@ class FusedStructuredDecoder:
             # merge substeps into the lane dim: [chunks, E, U·B]
             ohm = (
                 oh[: chunks * unroll]
-                .reshape(chunks, unroll, E_PAD, b)
+                .reshape(chunks, unroll, self.e_pad, b)
                 .transpose(0, 2, 1, 3)
-                .reshape(chunks, E_PAD, unroll * b)
+                .reshape(chunks, self.e_pad, unroll * b)
             )
             out = self._pallas(out, ohm, lengths, masked, unroll, 0)
         if tail:
             oht = (
                 oh[chunks * unroll :]
-                .reshape(1, tail, E_PAD, b)
+                .reshape(1, tail, self.e_pad, b)
                 .transpose(0, 2, 1, 3)
-                .reshape(1, E_PAD, tail * b)
+                .reshape(1, self.e_pad, tail * b)
             )
             out = self._pallas(out, oht, lengths, masked, tail, chunks * unroll)
         out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
@@ -364,9 +369,9 @@ class FusedStructuredDecoder:
                 pl.BlockSpec(
                     (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((n, E_PAD), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, E_PAD, unroll * BB),
+                    (1, self.e_pad, unroll * BB),
                     lambda i, t: (t, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
@@ -387,7 +392,7 @@ class FusedStructuredDecoder:
         n = self.n
         t_total, b = seqs_t.shape
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
-        sym = jax.lax.broadcasted_iota(jnp.int32, (1, E_PAD, 1), 1)
+        sym = jax.lax.broadcasted_iota(jnp.int32, (1, self.e_pad, 1), 1)
         oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)
         t_steps = t_total - 1
 
@@ -409,9 +414,9 @@ class FusedStructuredDecoder:
                 pl.BlockSpec(
                     (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((n, E_PAD), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, E_PAD, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                    (1, self.e_pad, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
@@ -482,16 +487,9 @@ class FusedStructuredDecoder:
         A uniform-length batch compiles the mask out of the kernel
         (padding lanes evolve freely and are sliced off on extraction).
         """
-        b = len(seqs)
-        b_pad = ((b + BB - 1) // BB) * BB
-        t_max = max(2, max(len(s) for s in seqs))
-        batch = np.zeros((b_pad, t_max), dtype=np.int32)
-        lengths = np.zeros((1, b_pad), dtype=np.int32)
-        for i, s in enumerate(seqs):
-            batch[i, : len(s)] = s
-            lengths[0, i] = len(s)
-        masked = len({len(s) for s in seqs}) > 1 or t_max > max(len(s) for s in seqs)
-        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths), masked
+        batch, lengths = pad_batch(seqs, BB, min_t=2)
+        masked = len({len(s) for s in seqs}) > 1
+        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths[None, :]), masked
 
     def run_prepared(self, handle) -> jax.Array:
         """Fused decode of a prepared batch; returns [B, Np] device scores."""

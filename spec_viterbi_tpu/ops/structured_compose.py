@@ -124,6 +124,8 @@ def compose(ops_a: list, ops_b: list, merge: bool = True) -> list:
 def _merge(comps: list) -> list:
     """Cheap consolidations: equal-offset diagonals min together; rank-1
     terms sharing a point-w (same source column) min their u vectors."""
+    if not comps:
+        return []  # a fully annihilated product (e.g. a dead symbol)
     diags: dict[int, np.ndarray] = {}
     rank1s: list[Rank1] = []
     for c in comps:

@@ -35,6 +35,7 @@ from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.models.decoder import DeviceHMM
 from spec_viterbi_tpu.ops import dispatch
 from spec_viterbi_tpu.parallel.mesh import DATA_AXIS, STATE_AXIS, TIME_AXIS
+from spec_viterbi_tpu.utils.batching import pad_batch
 
 
 # --------------------------------------------------------------------------
@@ -81,15 +82,7 @@ def decode_batch_dp(
         return []
     d = mesh.shape[DATA_AXIS]
     lane = 128 if use_pallas else 8
-    chunk = d * lane
-    b = len(seqs)
-    b_pad = ((b + chunk - 1) // chunk) * chunk
-    t_max = max(len(s) for s in seqs)
-    batch = np.zeros((b_pad, t_max), dtype=np.int32)
-    lengths = np.zeros(b_pad, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        batch[i, : len(s)] = s
-        lengths[i] = len(s)
+    batch, lengths = pad_batch(seqs, d * lane)
 
     batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [Tmax, B]
     len_sh = NamedSharding(mesh, P(DATA_AXIS))
@@ -102,7 +95,7 @@ def decode_batch_dp(
     em_t = jax.device_put(dev.emissions.T, repl)
 
     v = np.asarray(_dp_decode(a, pi, em_t, seqs_t, lengths_d, use_pallas))
-    return [v[i, : dev.states_num] for i in range(b)]
+    return [v[i, : dev.states_num] for i in range(len(seqs))]
 
 
 # --------------------------------------------------------------------------
@@ -227,15 +220,7 @@ def decode_batch_dp_tp(
     if dev.padded % s != 0:
         raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
     lane = 128 if use_pallas else 8
-    chunk = d * lane
-    b = len(seqs)
-    b_pad = ((b + chunk - 1) // chunk) * chunk
-    t_max = max(len(s_) for s_ in seqs)
-    batch = np.zeros((b_pad, t_max), dtype=np.int32)
-    lengths = np.zeros(b_pad, dtype=np.int32)
-    for i, s_ in enumerate(seqs):
-        batch[i, : len(s_)] = s_
-        lengths[i] = len(s_)
+    batch, lengths = pad_batch(seqs, d * lane)
 
     fn = make_dp_tp_decode(mesh, use_pallas)
     v = np.asarray(
@@ -247,7 +232,7 @@ def decode_batch_dp_tp(
             jnp.asarray(lengths),
         )
     )
-    return [v[i, : dev.states_num] for i in range(b)]
+    return [v[i, : dev.states_num] for i in range(len(seqs))]
 
 
 # --------------------------------------------------------------------------
@@ -262,7 +247,7 @@ def _identity_op(n: int) -> np.ndarray:
     return m
 
 
-def make_time_parallel_decode(mesh: Mesh, block_len: int, use_pallas: bool = False):
+def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
     """Build a jitted time-parallel decoder.
 
     Each ``time``-axis device owns a contiguous observation block and
@@ -353,6 +338,6 @@ def decode_time_parallel(
     obs = np.concatenate([rest, np.full(pad, e, dtype=np.int32)])
 
     v0 = em[seq[0]] + pi
-    fn = make_time_parallel_decode(mesh, block, use_pallas)
+    fn = make_time_parallel_decode(mesh, use_pallas)
     v = np.asarray(fn(jnp.asarray(ops), jnp.asarray(v0), jnp.asarray(obs)))
     return v[: hmm.states_num]

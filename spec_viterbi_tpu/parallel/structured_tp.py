@@ -36,15 +36,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from spec_viterbi_tpu.hmm import HMM
 from spec_viterbi_tpu.ops.structured import StructuredOperator
 from spec_viterbi_tpu.parallel.mesh import STATE_AXIS
+from spec_viterbi_tpu.utils.batching import pad_batch
 
 
 def structured_tp_supported(sop: StructuredOperator, shards: int) -> bool:
+    if sop.n % shards != 0:
+        return False
     block = sop.n // shards
-    return (
-        sop.n % shards == 0
-        and all(0 < abs(d) < block for d in sop.diag_offsets)
-        or not sop.diag_offsets
-    )
+    return all(0 < abs(d) < block for d in sop.diag_offsets)
 
 
 def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
@@ -203,15 +202,7 @@ def decode_batch_structured_dp(
     sop = StructuredOperator.from_hmm(hmm)
     fn = make_structured_dp_decode(sop, mesh)
     d = mesh.shape[DATA_AXIS]
-    chunk = d * 8
-    b = len(seqs)
-    b_pad = ((b + chunk - 1) // chunk) * chunk
-    t_max = max(2, max(len(s) for s in seqs))
-    batch = np.zeros((b_pad, t_max), dtype=np.int32)
-    lengths = np.zeros(b_pad, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        batch[i, : len(s)] = s
-        lengths[i] = len(s)
+    batch, lengths = pad_batch(seqs, d * 8, min_t=2)
     n = sop.n
     v = np.asarray(
         fn(
@@ -221,7 +212,7 @@ def decode_batch_structured_dp(
             jnp.asarray(lengths),
         )
     )
-    return [v[i, : hmm.states_num] for i in range(b)]
+    return [v[i, : hmm.states_num] for i in range(len(seqs))]
 
 
 def decode_batch_structured_tp(
@@ -235,14 +226,7 @@ def decode_batch_structured_tp(
     sop = StructuredOperator.from_hmm(hmm)
     fn = make_structured_tp_decode(sop, mesh)
 
-    b = len(seqs)
-    b_pad = ((b + 7) // 8) * 8
-    t_max = max(2, max(len(s) for s in seqs))
-    batch = np.zeros((b_pad, t_max), dtype=np.int32)
-    lengths = np.zeros(b_pad, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        batch[i, : len(s)] = s
-        lengths[i] = len(s)
+    batch, lengths = pad_batch(seqs, 8, min_t=2)
 
     n = sop.n
     em_t = hmm.emission_matrix(pad_to=n).T  # [Np, E]
@@ -264,4 +248,4 @@ def decode_batch_structured_tp(
             jnp.asarray(lengths),
         )
     )
-    return [v[i, : hmm.states_num] for i in range(b)]
+    return [v[i, : hmm.states_num] for i in range(len(seqs))]

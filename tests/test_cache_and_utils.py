@@ -36,23 +36,36 @@ def test_operator_cache_key_discriminates(tmp_path):
     cache = OperatorCache(str(tmp_path))
     h1 = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
     h2 = read_hmm(os.path.join(TEST_CHMMS, "2_test_chmm.chmm"))
-    for level in (1, 2):
+    for level in (2, 3):
         for h in (h1, h2):
             s = SpecializedViterbi(level=level, cache=cache)
             s.spec_with(h)
     assert len(os.listdir(tmp_path)) == 4  # 2 models × 2 levels
 
 
-def test_operator_cache_corrupt_entry_rebuilds(tmp_path):
+def test_level1_structured_delegation_skips_cache(tmp_path):
+    """A structured-eligible HMM at level 1 decodes via the structured
+    path and builds no dense operator cache (nothing to persist)."""
     cache = OperatorCache(str(tmp_path))
     hmm = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
     seq = read_emit_seq(os.path.join(TEST_SEQS, "1_test_seq.ess"))[0]
     spec = SpecializedViterbi(level=1, cache=cache)
     spec.spec_with(hmm)
+    assert spec._delegate is not None
+    assert os.listdir(tmp_path) == []
+    assert almost_equal_vec(spec.run_spec(seq), viterbi_scores_oracle(hmm, seq))
+
+
+def test_operator_cache_corrupt_entry_rebuilds(tmp_path):
+    cache = OperatorCache(str(tmp_path))
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "1_test_chmm.chmm"))
+    seq = read_emit_seq(os.path.join(TEST_SEQS, "1_test_seq.ess"))[0]
+    spec = SpecializedViterbi(level=2, cache=cache)
+    spec.spec_with(hmm)
     path = os.path.join(str(tmp_path), os.listdir(tmp_path)[0])
     with open(path, "wb") as f:
         f.write(b"garbage")
-    spec2 = SpecializedViterbi(level=1, cache=cache)
+    spec2 = SpecializedViterbi(level=2, cache=cache)
     spec2.spec_with(hmm)  # silently rebuilds
     assert almost_equal_vec(spec2.run_spec(seq), viterbi_scores_oracle(hmm, seq))
 

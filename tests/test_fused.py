@@ -92,6 +92,61 @@ def test_fused_path_kernel_ragged_and_residual():
         assert np.array_equal(path, opath), len(s)
 
 
+
+def _chain_hmm(rng, states, em_probs):
+    """Profile-shaped HMM (chain + dense fan-out row) -> fused-eligible."""
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+
+    rows = [0] * states + list(range(1, states - 1))
+    cols = list(range(states)) + list(range(2, states))
+    probs = rng.uniform(0.1, 1.0, size=len(rows))
+    return HMM(
+        states_num=states,
+        emit_num=em_probs.shape[0],
+        trans_rows=np.asarray(rows, dtype=np.int64),
+        trans_cols=np.asarray(cols, dtype=np.int64),
+        trans_probs=to_modified_prob_np(probs),
+        emissions=to_modified_prob_np(em_probs),
+        start_probabilities_cols=np.array([0, 1], dtype=np.int64),
+        start_probabilities=to_modified_prob_np(np.array([0.5, 0.5])),
+    )
+
+
+def test_fused_path_parity_through_dead_symbol():
+    """A symbol emitted by no state drives every carry to the semantic
+    zero; the BIG-clamped kernel must still emit the oracle's pointers
+    (all-inf rows backtrace to state 0)."""
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    rng = np.random.default_rng(2)
+    states, emit = 40, 4
+    em = rng.uniform(0.1, 1.0, size=(emit, states))
+    em[3, :] = 0.0  # dead symbol
+    hmm = _chain_hmm(rng, states, em)
+    fd = _fused_for(hmm)
+    seq = np.array([0, 1, 3, 2, 0, 1], dtype=np.int32)  # dies at step 2
+    (scores, path), = fd.decode_path_batch([seq])
+    oscores, opath = viterbi_path_oracle(hmm, seq)
+    assert almost_equal_vec(scores, oscores)
+    assert np.array_equal(path, opath), (path, opath)
+
+
+def test_fused_large_alphabet_e_pad():
+    """Alphabets beyond 32 symbols grow the one-hot pad instead of crashing."""
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+    from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+
+    rng = np.random.default_rng(6)
+    states, emit = 40, 40
+    hmm = _chain_hmm(rng, states, rng.uniform(0.1, 1.0, size=(emit, states)))
+    fd = _fused_for(hmm)
+    assert fd.e_pad == 64
+    seq = rng.integers(0, emit, size=17).astype(np.int32)
+    got = fd.decode_batch([seq])[0]
+    assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq))
+
+
 def test_fused_ragged_lengths_frozen_lanes():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
