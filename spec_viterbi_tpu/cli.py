@@ -30,9 +30,22 @@ DEFAULT_DATASETS = (  # main.cpp:5-7
 
 
 def _cmd_bench(args) -> int:
+    import contextlib
+
     from spec_viterbi_tpu.bench import bench_viterbi
 
+    ctx = contextlib.nullcontext()
+    if args.trace:
+        from spec_viterbi_tpu.utils import trace
+
+        ctx = trace(args.trace)  # jax.profiler xplane for per-kernel timing
     os.makedirs(args.out_dir, exist_ok=True)
+    with ctx:
+        _run_bench_datasets(args, bench_viterbi)
+    return 0
+
+
+def _run_bench_datasets(args, bench_viterbi) -> None:
     for ds in args.datasets:
         ess = ds if ds.endswith(".ess") else os.path.join(args.ess_dir, f"{ds}.ess")
         name = os.path.splitext(os.path.basename(ess))[0]
@@ -59,7 +72,6 @@ def _cmd_bench(args) -> int:
                 max_spec_bytes=args.max_spec_gb << 30,
             )
             print(f"wrote {out}")
-    return 0
 
 
 def _cmd_decode(args) -> int:
@@ -227,6 +239,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--max-spec-gb", type=int, default=8)
     b.add_argument("--skip-spec", action="store_true")
     b.add_argument("--skip-nonspec", action="store_true")
+    b.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
     b.set_defaults(fn=_cmd_bench)
 
     d = sub.add_parser("decode", help="decode an .ess against a .chmm")

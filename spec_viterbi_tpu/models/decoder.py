@@ -167,7 +167,10 @@ class ViterbiDecoder:
                 self._sop_arrs = sop.device_arrays()
                 mode = "structured"
             else:
-                mode = "pallas" if self.use_pallas else "dense"
+                # dense fallback is XLA: the measured dense-Pallas TN kernel
+                # is ~10× slower than XLA's fused dense path (BASELINE.md),
+                # so auto never selects it — mode="pallas" is explicit-only.
+                mode = "dense"
         self.mode = mode
         self.use_pallas = mode == "pallas"
         self._fused = None
