@@ -17,8 +17,6 @@ components (one gather of a few [N] vectors per chunk instead of one dense
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,11 +53,15 @@ class StructuredSpecializedViterbi:
         return self.level
 
     @staticmethod
-    def spec_memory_bytes(
-        states_num: int, emit_num: int, level: int, components: int = 16
-    ) -> int:
-        """Upper-bound estimate: E^L tuples × component vectors × N floats."""
-        return (emit_num**level) * components * pad_to_lane(states_num) * 4
+    def spec_memory_bytes(states_num: int, emit_num: int, level: int) -> int:
+        """Upper-bound estimate: E^L tuples × component vectors × N floats.
+
+        Composed rank-1 counts roughly double per level (measured on the
+        Pfam corpus: 7/11/21 stored vectors per tuple at levels 1-3), so
+        the per-tuple vector estimate grows with level.
+        """
+        vectors = 6 * 2 ** (level - 1) + 2
+        return (emit_num**level) * vectors * pad_to_lane(states_num) * 4
 
     def spec_with(self, hmm: HMM) -> None:
         n = pad_to_lane(hmm.states_num)
@@ -101,8 +103,8 @@ class StructuredSpecializedViterbi:
         )
         p = len(tuples)
         dv = np.full((p, len(all_offsets), n), INF, np.float32)
-        uu = np.full((p, max(1, max_r1), n), INF, np.float32)
-        ww = np.full((p, max(1, max_r1), n), INF, np.float32)
+        uu = np.full((p, max_r1, n), INF, np.float32)
+        ww = np.full((p, max_r1, n), INF, np.float32)
         for ti, t in enumerate(tuples):
             offs, tdv, tu, tw = _split(t, n)
             for k, d in enumerate(offs):
@@ -114,8 +116,8 @@ class StructuredSpecializedViterbi:
         l1_offsets = sorted({d for t in level1 for d in _split(t, n)[0]})
         l1_r1 = max(sum(isinstance(c, sc.Rank1) for c in t) for t in level1)
         dv1 = np.full((e, len(l1_offsets), n), INF, np.float32)
-        uu1 = np.full((e, max(1, l1_r1), n), INF, np.float32)
-        ww1 = np.full((e, max(1, l1_r1), n), INF, np.float32)
+        uu1 = np.full((e, l1_r1, n), INF, np.float32)
+        ww1 = np.full((e, l1_r1, n), INF, np.float32)
         for o, t in enumerate(level1):
             offs, tdv, tu, tw = _split(t, n)
             for k, d in enumerate(offs):

@@ -9,9 +9,9 @@ resident in VMEM:
   sequentially, so the output block doubles as the carry and is flushed to
   HBM once per batch block;
 - the structured operator (diagonal/row/col vectors) and the emission table
-  live in VMEM for the whole decode — zero HBM traffic in the loop except
-  the observation one-hots (16 KB/step, auto double-buffered by the Mosaic
-  pipeline);
+  live in VMEM for the whole decode — the only HBM traffic in the loop is
+  the raw int32 observation stream (4 B/step/lane, auto double-buffered by
+  the Mosaic pipeline); one-hots are built in-kernel;
 - per-step emission selection `em[:, o_t[b]]` is a lane-wise gather, which
   the VPU cannot do — it is instead computed on the **MXU** as
   `em_clamped @ onehot(o_t)`, the one place the systolic array helps a
@@ -26,8 +26,6 @@ Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +73,7 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
         zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
     )
 
-    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, oh_ref, len_ref, o_ref):
+    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, seq_ref, len_ref, o_ref):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -84,14 +82,20 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
             # main body's output carry)
             o_ref[:] = v0_ref[:]
 
-        em_all = jnp.dot(
-            em_ref[:],
-            oh_ref[0],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Np, unroll·B]
+        # one-hots build in-kernel from the raw int32 symbols (HBM carries
+        # 4 bytes/step/lane, not a 32× f32 one-hot tensor), then the MXU
+        # does the emission selection
+        e_pad = em_ref.shape[1]
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, BB), 0)
 
         for u in range(unroll):
+            oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)  # [e_pad, B]
+            em_sel = jnp.dot(
+                em_ref[:],
+                oh_u,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Np, B]
             v = o_ref[:]
             bulk = [
                 dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
@@ -107,7 +111,6 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
             else:
                 acc = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
 
-            em_sel = em_all[:, u * BB : (u + 1) * BB]
             v_new = em_sel + acc
             if masked:
                 keep = (t * unroll + u + t0 + 1) < len_ref[:]  # [1, B]
@@ -151,7 +154,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
         zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
     )
 
-    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, oh_ref, len_ref, o_ref, src_ref):
+    def kernel(v0_ref, dv_ref, rv_ref, cv_ref, resv_ref, em_ref, seq_ref, len_ref, o_ref, src_ref):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -191,9 +194,12 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
             src = jnp.full(v.shape, 2**30, jnp.int32)
 
+        e_pad = em_ref.shape[1]
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, BB), 0)
+        oh = (sym_iota == seq_ref[0]).astype(jnp.float32)  # [e_pad, B]
         em_sel = jnp.dot(
             em_ref[:],
-            oh_ref[0],
+            oh,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -303,7 +309,6 @@ class FusedStructuredDecoder:
         em_pad = np.full((n, self.e_pad), BIG, dtype=MOD_PROB_DTYPE)
         em_pad[:, : self.emit_num] = np.minimum(emissions.T, BIG)
         self.em_clamped = jnp.asarray(em_pad)  # [Np, e_pad]
-        self.em = jnp.asarray(emissions)  # [E, Np] (for v0)
         self.pi = jnp.asarray(pi)  # [Np]
 
         self._jit_run = jax.jit(self._run, static_argnames=("masked",))
@@ -312,45 +317,31 @@ class FusedStructuredDecoder:
     def _run(self, seqs_t, lengths, masked: bool = True):
         """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
 
-        The observation one-hots are materialized on device (an iota
-        compare, memory-bound) — host-built one-hots would cross the
-        host↔device boundary at 32× the size of the raw symbols.
         Returns [B, Np] scores with ``BIG``-range values mapped to +inf.
         """
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
-        sym = jax.lax.broadcasted_iota(jnp.int32, (1, self.e_pad, 1), 1)
-        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)  # [T-1, e_pad, B]
-        t_steps = oh.shape[0]
-        b = oh.shape[2]
+        obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
+        t_steps = obs.shape[0]
+        b = obs.shape[2]
 
         unroll = self.unroll if b == BB else 1
         chunks, tail = divmod(t_steps, unroll)
         out = v0
         if chunks:
-            # merge substeps into the lane dim: [chunks, E, U·B]
-            ohm = (
-                oh[: chunks * unroll]
-                .reshape(chunks, unroll, self.e_pad, b)
-                .transpose(0, 2, 1, 3)
-                .reshape(chunks, self.e_pad, unroll * b)
+            out = self._pallas(
+                out, obs[: chunks * unroll], lengths, masked, unroll, 0
             )
-            out = self._pallas(out, ohm, lengths, masked, unroll, 0)
         if tail:
-            oht = (
-                oh[chunks * unroll :]
-                .reshape(1, tail, self.e_pad, b)
-                .transpose(0, 2, 1, 3)
-                .reshape(1, self.e_pad, tail * b)
+            out = self._pallas(
+                out, obs[chunks * unroll :], lengths, masked, tail, chunks * unroll
             )
-            out = self._pallas(out, oht, lengths, masked, tail, chunks * unroll)
         out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
         return out.T
 
-    def _pallas(self, v0, oh, lengths, masked: bool, unroll: int, t0: int):
+    def _pallas(self, v0, obs, lengths, masked: bool, unroll: int, t0: int):
         n = self.n
-        n_chunks, _, ub = oh.shape
-        b = ub // unroll
-        grid = (b // BB, n_chunks)
+        steps, _, b = obs.shape
+        grid = (b // BB, steps // unroll)
         kernel = _make_unrolled_kernel(self.sop, masked, unroll, t0)
         return pl.pallas_call(
             kernel,
@@ -371,7 +362,7 @@ class FusedStructuredDecoder:
                 ),
                 pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, self.e_pad, unroll * BB),
+                    (unroll, 1, BB),
                     lambda i, t: (t, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
@@ -380,7 +371,7 @@ class FusedStructuredDecoder:
             out_specs=pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
             interpret=self.interpret,
-        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
+        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
     def _run_path(self, seqs_t, lengths, masked: bool = True):
         """Fused decode emitting (scores [B, Np], paths [B, T]).
@@ -392,8 +383,7 @@ class FusedStructuredDecoder:
         n = self.n
         t_total, b = seqs_t.shape
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
-        sym = jax.lax.broadcasted_iota(jnp.int32, (1, self.e_pad, 1), 1)
-        oh = (seqs_t[1:, None, :] == sym).astype(jnp.float32)
+        obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
         t_steps = t_total - 1
 
         kernel = _make_path_kernel(self.sop, masked)
@@ -416,7 +406,7 @@ class FusedStructuredDecoder:
                 ),
                 pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, self.e_pad, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                    (1, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
@@ -431,7 +421,7 @@ class FusedStructuredDecoder:
                 jax.ShapeDtypeStruct((t_steps, n, b), jnp.int16),
             ],
             interpret=self.interpret,
-        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, oh, lengths)
+        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
         scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [Np, B]
         last = jnp.argmin(scores, axis=0).astype(jnp.int32)[None, :]  # [1, B]
@@ -463,6 +453,8 @@ class FusedStructuredDecoder:
     MAX_PATH_BYTES = 6 << 30
 
     def path_supported(self, t_max: int, batch: int = BB) -> bool:
+        if self.n > np.iinfo(np.int16).max:  # int16 backpointers
+            return False
         b_pad = ((batch + BB - 1) // BB) * BB
         return max(0, t_max - 1) * self.n * b_pad * 2 <= self.MAX_PATH_BYTES
 
@@ -488,7 +480,9 @@ class FusedStructuredDecoder:
         (padding lanes evolve freely and are sliced off on extraction).
         """
         batch, lengths = pad_batch(seqs, BB, min_t=2)
-        masked = len({len(s) for s in seqs}) > 1
+        # mask when lengths differ OR when min_t padding added a timestep
+        # (a uniform length-1 batch would otherwise run one bogus step)
+        masked = len({len(s) for s in seqs}) > 1 or max(len(s) for s in seqs) < 2
         return jnp.asarray(batch.T.copy()), jnp.asarray(lengths[None, :]), masked
 
     def run_prepared(self, handle) -> jax.Array:

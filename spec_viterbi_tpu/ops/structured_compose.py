@@ -34,7 +34,6 @@ import dataclasses
 
 import numpy as np
 
-from spec_viterbi_tpu.hmm import ZERO_PROB
 from spec_viterbi_tpu.ops.structured import StructuredOperator
 
 INF = np.float32(np.inf)

@@ -147,6 +147,17 @@ def test_fused_large_alphabet_e_pad():
     assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq))
 
 
+def test_fused_uniform_length_one_batch():
+    """A uniform batch of length-1 sequences must not run the min_t padding
+    step unmasked (regression: masked=False skipped the freeze)."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    seqs = [np.array([2], dtype=np.int32), np.array([5], dtype=np.int32)]
+    got = fd.decode_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
 def test_fused_ragged_lengths_frozen_lanes():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
