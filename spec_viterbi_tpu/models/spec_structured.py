@@ -153,32 +153,15 @@ class StructuredSpecializedViterbi:
                 out = jnp.minimum(out, jnp.min(u + dots[:, None], axis=0))
             return out
 
-        @jax.jit
-        def decode(seq):
-            v = start_ops[seq[0]]
-            rest = seq[1:]
-            t_rest = rest.shape[0]
-            n_full = t_rest // level
-            tail = t_rest - n_full * level
+        from spec_viterbi_tpu.models.specializer import make_chunked_decode
 
-            if n_full > 0:
-                chunks = rest[: n_full * level].reshape(n_full, level)
-                radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
-                idxs = jnp.sum(chunks * radix[None, :], axis=1)
-
-                def chunk_step(v, i):
-                    return apply(tuple_offsets, dv[i], uu[i], ww[i], v), None
-
-                v, _ = jax.lax.scan(chunk_step, v, idxs)
-
-            if tail > 0:
-                def tail_step(v, o):
-                    return apply(l1_offsets, dv1[o], uu1[o], ww1[o], v), None
-
-                v, _ = jax.lax.scan(tail_step, v, rest[n_full * level :])
-            return v
-
-        self._decode = decode
+        self._decode = make_chunked_decode(
+            level,
+            emit_num,
+            start_fn=lambda o: start_ops[o],
+            chunk_fn=lambda v, i: apply(tuple_offsets, dv[i], uu[i], ww[i], v),
+            tail_fn=lambda v, o: apply(l1_offsets, dv1[o], uu1[o], ww1[o], v),
+        )
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
         if not self._specialized:

@@ -67,39 +67,38 @@ def _add_level(ops_t, t_prev, use_pallas: bool):
     return t_next.reshape(e * p, *t_prev.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("level", "emit_num", "use_pallas"))
-def _decode_spec(start_ops, ops, tuple_ops, seq, level: int, emit_num: int, use_pallas: bool):
-    """Chunked specialized decode with tail handling.
+def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn):
+    """Shared chunked-decode skeleton (GraphBLAS_spec_impl.cpp:50-89).
 
-    seq: [T] int32. The first symbol consumes ``start_ops``; the remaining
-    T−1 symbols are consumed ``level`` at a time through ``tuple_ops``; the
-    final ``(T−1) mod level`` symbols go through level-1 ``ops``
-    (GraphBLAS_spec_impl.cpp:50-89).
+    ``seq[0]`` consumes the start operator; the remaining T−1 symbols go
+    ``level`` at a time through ``chunk_fn(v, tuple_index)`` (tuple index =
+    radix-``emit_num`` encoding, earliest symbol least significant); the
+    final ``(T−1) mod level`` symbols go through ``tail_fn(v, symbol)``.
+    Used by both the dense and the structured specializers so the chunking
+    semantics cannot diverge between them.
     """
-    v = start_ops[seq[0]]
-    rest = seq[1:]
-    t_rest = rest.shape[0]
-    n_full = t_rest // level
-    tail = t_rest - n_full * level
 
-    if n_full > 0:
-        chunks = rest[: n_full * level].reshape(n_full, level)
-        radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
-        idxs = jnp.sum(chunks * radix[None, :], axis=1)
+    @jax.jit
+    def decode(seq):
+        v = start_fn(seq[0])
+        rest = seq[1:]
+        t_rest = rest.shape[0]
+        n_full = t_rest // level
+        tail = t_rest - n_full * level
 
-        def chunk_step(v, idx):
-            m = tuple_ops[idx]
-            return dispatch.step_mv(m, v, use_pallas), None
+        if n_full > 0:
+            chunks = rest[: n_full * level].reshape(n_full, level)
+            radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
+            idxs = jnp.sum(chunks * radix[None, :], axis=1)
+            v, _ = jax.lax.scan(lambda v, i: (chunk_fn(v, i), None), v, idxs)
 
-        v, _ = jax.lax.scan(chunk_step, v, idxs)
+        if tail > 0:
+            v, _ = jax.lax.scan(
+                lambda v, o: (tail_fn(v, o), None), v, rest[n_full * level :]
+            )
+        return v
 
-    if tail > 0:
-        def tail_step(v, o):
-            return dispatch.step_mv(ops[o], v, use_pallas), None
-
-        v, _ = jax.lax.scan(tail_step, v, rest[n_full * level :])
-
-    return v
+    return decode
 
 
 class SpecializedViterbi:
@@ -212,6 +211,14 @@ class SpecializedViterbi:
         self.start_ops = start_ops
         self.ops = ops
         self.tuple_ops = tuple_ops
+        use_pallas = self.use_pallas
+        self._decode = make_chunked_decode(
+            self.level,
+            self.emit_num,
+            start_fn=lambda o: start_ops[o],
+            chunk_fn=lambda v, i: dispatch.step_mv(tuple_ops[i], v, use_pallas),
+            tail_fn=lambda v, o: dispatch.step_mv(ops[o], v, use_pallas),
+        )
         self._specialized = True
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
@@ -221,15 +228,7 @@ class SpecializedViterbi:
         if self._delegate is not None:
             return self._delegate.decode(seq)
         seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
-        v = _decode_spec(
-            self.start_ops,
-            self.ops,
-            self.tuple_ops,
-            seq,
-            self.level,
-            self.emit_num,
-            self.use_pallas,
-        )
+        v = self._decode(seq)
         return np.asarray(v[: self.states_num])
 
     def run_spec_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
