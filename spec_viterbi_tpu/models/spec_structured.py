@@ -158,9 +158,10 @@ class StructuredSpecializedViterbi:
         self._decode = make_chunked_decode(
             level,
             emit_num,
-            start_fn=lambda o: start_ops[o],
-            chunk_fn=lambda v, i: apply(tuple_offsets, dv[i], uu[i], ww[i], v),
-            tail_fn=lambda v, o: apply(l1_offsets, dv1[o], uu1[o], ww1[o], v),
+            start_fn=lambda o, ar: ar[0][o],
+            chunk_fn=lambda v, i, ar: apply(tuple_offsets, ar[1][i], ar[2][i], ar[3][i], v),
+            tail_fn=lambda v, o, ar: apply(l1_offsets, ar[4][o], ar[5][o], ar[6][o], v),
+            operands=(start_ops, dv, uu, ww, dv1, uu1, ww1),
         )
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:

@@ -67,20 +67,24 @@ def _add_level(ops_t, t_prev, use_pallas: bool):
     return t_next.reshape(e * p, *t_prev.shape[1:])
 
 
-def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn):
+def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn, operands):
     """Shared chunked-decode skeleton (GraphBLAS_spec_impl.cpp:50-89).
 
     ``seq[0]`` consumes the start operator; the remaining T−1 symbols go
-    ``level`` at a time through ``chunk_fn(v, tuple_index)`` (tuple index =
-    radix-``emit_num`` encoding, earliest symbol least significant); the
-    final ``(T−1) mod level`` symbols go through ``tail_fn(v, symbol)``.
-    Used by both the dense and the structured specializers so the chunking
-    semantics cannot diverge between them.
+    ``level`` at a time through ``chunk_fn(v, tuple_index, operands)``
+    (tuple index = radix-``emit_num`` encoding, earliest symbol least
+    significant); the final ``(T−1) mod level`` symbols go through
+    ``tail_fn(v, symbol, operands)``. Used by both the dense and the
+    structured specializers so the chunking semantics cannot diverge.
+
+    ``operands`` (a pytree of device arrays) is threaded through as a jit
+    ARGUMENT — closing over it would bake hundreds of MB of operator data
+    into the compiled program as constants.
     """
 
     @jax.jit
-    def decode(seq):
-        v = start_fn(seq[0])
+    def decode(seq, operands):
+        v = start_fn(seq[0], operands)
         rest = seq[1:]
         t_rest = rest.shape[0]
         n_full = t_rest // level
@@ -90,15 +94,19 @@ def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn):
             chunks = rest[: n_full * level].reshape(n_full, level)
             radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
             idxs = jnp.sum(chunks * radix[None, :], axis=1)
-            v, _ = jax.lax.scan(lambda v, i: (chunk_fn(v, i), None), v, idxs)
+            v, _ = jax.lax.scan(
+                lambda v, i: (chunk_fn(v, i, operands), None), v, idxs
+            )
 
         if tail > 0:
             v, _ = jax.lax.scan(
-                lambda v, o: (tail_fn(v, o), None), v, rest[n_full * level :]
+                lambda v, o: (tail_fn(v, o, operands), None),
+                v,
+                rest[n_full * level :],
             )
         return v
 
-    return decode
+    return lambda seq: decode(seq, operands)
 
 
 class SpecializedViterbi:
@@ -215,9 +223,10 @@ class SpecializedViterbi:
         self._decode = make_chunked_decode(
             self.level,
             self.emit_num,
-            start_fn=lambda o: start_ops[o],
-            chunk_fn=lambda v, i: dispatch.step_mv(tuple_ops[i], v, use_pallas),
-            tail_fn=lambda v, o: dispatch.step_mv(ops[o], v, use_pallas),
+            start_fn=lambda o, ops3: ops3[0][o],
+            chunk_fn=lambda v, i, ops3: dispatch.step_mv(ops3[2][i], v, use_pallas),
+            tail_fn=lambda v, o, ops3: dispatch.step_mv(ops3[1][o], v, use_pallas),
+            operands=(start_ops, ops, tuple_ops),
         )
         self._specialized = True
 
