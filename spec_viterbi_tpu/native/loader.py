@@ -51,6 +51,17 @@ def _load():
     except OSError:
         return None
 
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale .so missing entry points: fall back to the Python parsers
+        return None
+
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     lib.svt_read_hmm.restype = ctypes.c_void_p
     lib.svt_read_hmm.argtypes = [ctypes.c_char_p]
     lib.svt_hmm_dims.restype = None
@@ -78,9 +89,6 @@ def _load():
     lib.svt_ess_fill.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     lib.svt_ess_free.restype = None
     lib.svt_ess_free.argtypes = [ctypes.c_void_p]
-
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

@@ -118,17 +118,21 @@ struct SvtHmm {
     std::vector<float> start_probs;
 };
 
-void* svt_read_hmm(const char* path) {
+// Largest accepted header count: bounds allocations from untrusted files
+// (and keeps e*n far from int64 overflow). The corpus tops out ~10^4.
+constexpr std::int64_t kMaxCount = 100'000'000;
+
+static void* svt_read_hmm_impl(const char* path) {
     MappedFile f;
     if (!f.open_file(path)) return nullptr;
     Scanner sc{f.data(), f.data() + f.size()};
 
     auto hmm = new SvtHmm();
     std::int64_t n = 0, s = 0, e = 0, t = 0;
-    if (!sc.next_i64(&n) || n < 0) { delete hmm; return nullptr; }
+    if (!sc.next_i64(&n) || n < 0 || n > kMaxCount) { delete hmm; return nullptr; }
     hmm->states_num = n;
 
-    if (!sc.next_i64(&s) || s < 0) { delete hmm; return nullptr; }
+    if (!sc.next_i64(&s) || s < 0 || s > kMaxCount) { delete hmm; return nullptr; }
     hmm->start_cols.resize(s);
     hmm->start_probs.resize(s);
     for (std::int64_t i = 0; i < s; ++i) {
@@ -140,7 +144,7 @@ void* svt_read_hmm(const char* path) {
         hmm->start_probs[i] = to_mod_prob(prob);
     }
 
-    if (!sc.next_i64(&e) || e < 0) { delete hmm; return nullptr; }
+    if (!sc.next_i64(&e) || e < 0 || e > kMaxCount / (n ? n : 1)) { delete hmm; return nullptr; }
     hmm->emit_num = e;
     // file layout is [state][symbol]; store transposed [symbol][state]
     hmm->emissions.assign(static_cast<std::size_t>(e * n), kInf);
@@ -153,7 +157,7 @@ void* svt_read_hmm(const char* path) {
         }
     }
 
-    if (!sc.next_i64(&t) || t < 0) { delete hmm; return nullptr; }
+    if (!sc.next_i64(&t) || t < 0 || t > kMaxCount) { delete hmm; return nullptr; }
     hmm->trans_rows.resize(t);
     hmm->trans_cols.resize(t);
     hmm->trans_probs.resize(t);
@@ -168,6 +172,16 @@ void* svt_read_hmm(const char* path) {
         hmm->trans_probs[i] = to_mod_prob(prob);
     }
     return hmm;
+}
+
+void* svt_read_hmm(const char* path) {
+    // extern "C" boundary: exceptions (e.g. bad_alloc on a hostile file)
+    // must become the documented nullptr, not std::terminate
+    try {
+        return svt_read_hmm_impl(path);
+    } catch (...) {
+        return nullptr;
+    }
 }
 
 void svt_hmm_dims(void* handle, std::int64_t* dims4) {
@@ -204,19 +218,20 @@ struct SvtEss {
     std::vector<std::int32_t> flat;
 };
 
-void* svt_read_ess(const char* path) {
+static void* svt_read_ess_impl(const char* path) {
     MappedFile f;
     if (!f.open_file(path)) return nullptr;
     Scanner sc{f.data(), f.data() + f.size()};
 
     auto ess = new SvtEss();
     std::int64_t count = 0;
-    if (!sc.next_i64(&count) || count < 0) { delete ess; return nullptr; }
+    if (!sc.next_i64(&count) || count < 0 || count > kMaxCount) { delete ess; return nullptr; }
     ess->lengths.reserve(count);
     for (std::int64_t i = 0; i < count; ++i) {
         std::int64_t idx = 0, len = 0;
         // sequence numbering must be 0..N-1 in order (data_reader.cpp:111-119)
-        if (!sc.next_i64(&idx) || idx != i || !sc.next_i64(&len) || len < 0) {
+        if (!sc.next_i64(&idx) || idx != i || !sc.next_i64(&len) || len < 0 ||
+            len > kMaxCount) {
             delete ess; return nullptr;
         }
         ess->lengths.push_back(len);
@@ -227,6 +242,14 @@ void* svt_read_ess(const char* path) {
         }
     }
     return ess;
+}
+
+void* svt_read_ess(const char* path) {
+    try {
+        return svt_read_ess_impl(path);
+    } catch (...) {
+        return nullptr;
+    }
 }
 
 void svt_ess_dims(void* handle, std::int64_t* dims2) {

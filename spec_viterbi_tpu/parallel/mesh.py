@@ -32,9 +32,9 @@ def make_mesh(
 ) -> Mesh:
     """Build a named mesh of shape ``(data, state, time)``.
 
-    The product must divide the available device count evenly; extra
-    devices are left unused (a deliberate policy: decode benchmarks want
-    exact shapes, not max utilization of a ragged remainder).
+    The product may be smaller than the device count; extra devices are
+    left unused (a deliberate policy: decode benchmarks want exact shapes,
+    not max utilization of a ragged remainder).
     """
     devs = devices if devices is not None else jax.devices()
     need = data * state * time

@@ -81,6 +81,13 @@ def decode_batch_dp(
     if not seqs:
         return []
     d = mesh.shape[DATA_AXIS]
+    if use_pallas and d > 1:
+        # a pallas_call under plain GSPMD jit has no partitioning rule;
+        # the shard_map-based decode_batch_dp_tp is the Pallas multi-chip path
+        raise ValueError(
+            "decode_batch_dp cannot shard Pallas kernels; use "
+            "decode_batch_dp_tp (shard_map) or use_pallas=False"
+        )
     lane = 128 if use_pallas else 8
     batch, lengths = pad_batch(seqs, d * lane)
 
@@ -113,6 +120,7 @@ def _tp_step_body(a_t_block, v_block, use_pallas: bool):
     return dispatch.step_mv(a_t_block, v_full, use_pallas)  # [Nb]
 
 
+@functools.lru_cache(maxsize=None)
 def make_tp_decode(mesh: Mesh, use_pallas: bool = False):
     """Build a jitted state-sharded (TP) single-sequence decoder.
 
@@ -155,6 +163,10 @@ def decode_tp(
     s = mesh.shape[STATE_AXIS]
     if dev.padded % s != 0:
         raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
+    if use_pallas and (dev.padded // s) % 128 != 0:
+        raise ValueError(
+            f"Pallas TP needs 128-aligned per-shard blocks; got {dev.padded // s}"
+        )
     fn = make_tp_decode(mesh, use_pallas)
     seq_d = jnp.asarray(np.asarray(seq, dtype=np.int32))
     v = fn(dev.a_t, dev.pi, dev.emissions, seq_d)
@@ -166,6 +178,7 @@ def decode_tp(
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def make_dp_tp_decode(mesh: Mesh, use_pallas: bool = False):
     """Batched decode with the batch on ``data`` and states on ``state``.
 
@@ -219,6 +232,10 @@ def decode_batch_dp_tp(
     s = mesh.shape[STATE_AXIS]
     if dev.padded % s != 0:
         raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
+    if use_pallas and (dev.padded // s) % 128 != 0:
+        raise ValueError(
+            f"Pallas TP needs 128-aligned per-shard blocks; got {dev.padded // s}"
+        )
     lane = 128 if use_pallas else 8
     batch, lengths = pad_batch(seqs, d * lane)
 
@@ -247,6 +264,7 @@ def _identity_op(n: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=None)
 def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
     """Build a jitted time-parallel decoder.
 
@@ -258,7 +276,7 @@ def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
     ICI, once per sequence — not per step) and folded into the start vector
     with S matvecs.
 
-    ``ops`` must carry a trailing identity operator at index ``E`` so the
+    The operator stack must carry a trailing identity at index ``E`` so the
     caller can pad sequences to ``S × block_len`` without changing results.
     """
 
@@ -266,19 +284,19 @@ def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(),  # ops   [E+1, Np, Np] replicated
+            P(),  # ops_t [E+1, Np, Np] replicated (pre-transposed, TN)
             P(),  # v0    [Np]
             P(TIME_AXIS),  # obs   [T-1] time-blocked
         ),
         out_specs=P(),
     )
-    def sp_decode(ops, v0, obs_block):
-        n = ops.shape[1]
+    def sp_decode(ops_t, v0, obs_block):
+        n = ops_t.shape[1]
         eye = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
-            jnp.zeros((n, n), ops.dtype),
-            jnp.full((n, n), jnp.inf, ops.dtype),
+            jnp.zeros((n, n), ops_t.dtype),
+            jnp.full((n, n), jnp.inf, ops_t.dtype),
         )
         # The scan consumes the device-varying obs block, so its carry must
         # be typed as varying over the time axis too.
@@ -286,8 +304,9 @@ def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
 
         def compose(m_acc, o):
             # new step applies after the accumulated block: M_o ⊗ m_acc.
-            # TN form: C[i,j] = min_k (M_o)ᵀ[k,i] + m_acc[k,j]
-            return dispatch.matmul_tn(ops[o].T, m_acc, use_pallas), None
+            # TN form: C[i,j] = min_k (M_o)ᵀ[k,i] + m_acc[k,j]; ops arrive
+            # pre-transposed so the scan body does no per-step transpose
+            return dispatch.matmul_tn(ops_t[o], m_acc, use_pallas), None
 
         m_block, _ = jax.lax.scan(compose, eye, obs_block)
         blocks = jax.lax.all_gather(m_block, TIME_AXIS)  # [S, Np, Np]
@@ -327,10 +346,12 @@ def decode_time_parallel(
     em = hmm.emission_matrix(pad_to=np_states)
     pi = hmm.start_vector(pad_to=np_states)
 
-    # level-1 operators + trailing identity for padding
+    # level-1 operators + trailing identity for padding, stored
+    # pre-transposed (TN layout) so composition does no per-step transpose
     ops = np.concatenate(
         [em[:, :, None] + a_t[None, :, :], _identity_op(np_states)[None]], axis=0
     )
+    ops_t = np.ascontiguousarray(np.transpose(ops, (0, 2, 1)))
 
     rest = seq[1:]
     block = -(-len(rest) // s_axis)  # ceil
@@ -339,5 +360,5 @@ def decode_time_parallel(
 
     v0 = em[seq[0]] + pi
     fn = make_time_parallel_decode(mesh, use_pallas)
-    v = np.asarray(fn(jnp.asarray(ops), jnp.asarray(v0), jnp.asarray(obs)))
+    v = np.asarray(fn(jnp.asarray(ops_t), jnp.asarray(v0), jnp.asarray(obs)))
     return v[: hmm.states_num]

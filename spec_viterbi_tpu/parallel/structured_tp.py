@@ -64,7 +64,6 @@ def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
     row_idx = sop.row_idx
     col_idx = sop.col_idx
     res = list(zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(len(sop.res_vals))))
-    res_vals_np = sop.res_vals
 
     def _scalar_row(v_blk, s, r):
         """v[s] broadcast to every shard as a [1, B] vector."""
@@ -135,7 +134,7 @@ def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
             # residual entries: same scalar mechanism
             for s, dst, k in res:
                 vs = _scalar_row(v_blk, s, r)
-                cand = np.float32(res_vals_np[k]) + vs
+                cand = resv[0, k] + vs
                 u = jnp.where(rows_global == dst, jnp.minimum(u, cand), u)
 
             v_new = em_t_blk[:, o_t] + u

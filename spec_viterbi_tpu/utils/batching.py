@@ -20,6 +20,11 @@ def pad_batch(
     Returns ``(batch [B_pad, Tmax] int32, lengths [B_pad] int32)``; padding
     symbols are 0 and padding lanes have length 0 (always masked/discarded).
     """
+    if any(len(s) == 0 for s in seqs):
+        # the recurrence consumes seq[0] before any masking (the reference
+        # likewise indexes seq[0] unconditionally, GraphBLAS_impl.cpp:59);
+        # an empty sequence has no well-defined score vector
+        raise ValueError("cannot decode an empty sequence")
     b = len(seqs)
     b_pad = ((b + multiple - 1) // multiple) * multiple
     t_max = max(min_t, max(len(s) for s in seqs))

@@ -81,6 +81,17 @@ def test_native_rejects_missing_file(native):
     assert native.read_ess_native("/nonexistent/x.ess") is None
 
 
+def test_native_rejects_hostile_allocation_header(native, tmp_path):
+    """A corrupt header claiming 2e9 states must return None (Python
+    fallback then raises), not abort the process via bad_alloc."""
+    bad = tmp_path / "hostile.chmm"
+    bad.write_text("2000000000\n0\n20\n")
+    assert native.read_hmm_native(str(bad)) is None
+    bad_ess = tmp_path / "hostile.ess"
+    bad_ess.write_text("1\n0 9000000000\n")
+    assert native.read_ess_native(str(bad_ess)) is None
+
+
 def test_public_api_uses_native_when_available(native):
     """read_hmm goes through the native fast path transparently."""
     from spec_viterbi_tpu.io import read_hmm
