@@ -9,6 +9,10 @@ make -C spec_viterbi_tpu/native/src clean
 CXXFLAGS="-O3 -std=c++20 -Wall -Wextra -Wpedantic -Werror -fPIC -shared" \
     make -C spec_viterbi_tpu/native/src
 
+echo "== native sanitizer checks (ASan/UBSan) =="
+echo "2000000000 0 20" > /tmp/svt_hostile.chmm
+make -C spec_viterbi_tpu/native/src asan
+
 echo "== python bytecode check =="
 python -m compileall -q spec_viterbi_tpu tests bench.py __graft_entry__.py
 
