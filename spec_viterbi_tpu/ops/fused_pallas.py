@@ -59,10 +59,9 @@ def fused_eligible(sop: StructuredOperator) -> bool:
 def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0: int):
     """Unrolled kernel: ``unroll`` recurrence steps per grid iteration.
 
-    The observation block arrives as [1, E_PAD, unroll·B] (substeps merged
-    into the lane dim by the caller), so ONE MXU matmul produces all
-    substeps' emission selections; per-substep slices are 128-aligned
-    because B == BB. Grid overhead and the oh DMA amortize by ``unroll``.
+    The observation block is the raw int32 symbol stream ([unroll, 1, B]
+    per grid step); one-hots build in-kernel and the MXU selects emissions
+    per substep. Grid overhead and the symbol DMA amortize by ``unroll``.
     ``t0`` is the static global step offset (the tail call starts past the
     unrolled main body).
     """
