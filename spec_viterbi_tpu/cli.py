@@ -82,8 +82,7 @@ def _cmd_decode(args) -> int:
     seqs = read_emit_seq(args.ess)
     dec = ViterbiDecoder(hmm, mode=args.mode)
     if args.path:
-        for i, s in enumerate(seqs):
-            scores, path = dec.decode_path(s)
+        for i, (scores, path) in enumerate(dec.decode_path_batch(seqs)):
             print(f"seq {i}: best={np.min(scores):.4f} path={path.tolist()}")
     else:
         for i, v in enumerate(dec.decode_batch(seqs)):
