@@ -319,5 +319,8 @@ class ViterbiDecoder:
         """
         if not seqs:
             return []
+        if self._fused is not None:
+            # fused path slices padding off on device (smaller D2H)
+            return self._fused.decode_batch(seqs)
         v = np.asarray(self.run_batch(self.prepare_batch(seqs)))
         return [v[i, : self.dev.states_num] for i in range(len(seqs))]

@@ -310,13 +310,17 @@ class FusedStructuredDecoder:
         self.em_clamped = jnp.asarray(em_pad)  # [Np, e_pad]
         self.pi = jnp.asarray(pi)  # [Np]
 
-        self._jit_run = jax.jit(self._run, static_argnames=("masked",))
-        self._jit_run_path = jax.jit(self._run_path, static_argnames=("masked",))
+        self._jit_run = jax.jit(self._run, static_argnames=("masked", "b_real"))
+        self._jit_run_path = jax.jit(
+            self._run_path, static_argnames=("masked", "b_real")
+        )
 
-    def _run(self, seqs_t, lengths, masked: bool = True):
+    def _run(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
         """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
 
-        Returns [B, Np] scores with ``BIG``-range values mapped to +inf.
+        Returns [B, Np] scores with ``BIG``-range values mapped to +inf;
+        ``b_real`` (static) slices padding lanes off on device so the
+        host transfer only carries real sequences.
         """
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
         obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
@@ -335,7 +339,8 @@ class FusedStructuredDecoder:
                 out, obs[chunks * unroll :], lengths, masked, tail, chunks * unroll
             )
         out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
-        return out.T
+        out = out.T
+        return out if b_real is None else out[:b_real, : self.states_num]
 
     def _pallas(self, v0, obs, lengths, masked: bool, unroll: int, t0: int):
         n = self.n
@@ -372,7 +377,7 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
-    def _run_path(self, seqs_t, lengths, masked: bool = True):
+    def _run_path(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
         """Fused decode emitting (scores [B, Np], paths [B, T]).
 
         The kernel stores the winning source state per (step, state, lane)
@@ -445,7 +450,11 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(src, last)
         path = jnp.concatenate([rev[:, 0, :], last], axis=0)  # [T, B]
-        return scores.T, path.T
+        scores, path = scores.T, path.T
+        if b_real is not None:
+            scores = scores[:b_real, : self.states_num]
+            path = path[:b_real]
+        return scores, path
 
     # HBM budget for the int16 backpointer tensor before falling back to
     # the per-sequence XLA path decode.
@@ -464,11 +473,13 @@ class FusedStructuredDecoder:
         if not seqs:
             return []
         seqs_t, lengths, masked = self.prepare(seqs)
-        scores, paths = self._jit_run_path(seqs_t, lengths, masked=masked)
+        scores, paths = self._jit_run_path(
+            seqs_t, lengths, masked=masked, b_real=len(seqs)
+        )
         scores = np.asarray(scores)
         paths = np.asarray(paths)
         return [
-            (scores[i, : self.states_num], paths[i, : len(s)].astype(np.int32))
+            (scores[i], paths[i, : len(s)].astype(np.int32))
             for i, s in enumerate(seqs)
         ]
 
@@ -493,5 +504,8 @@ class FusedStructuredDecoder:
         """Decode a set of sequences; returns final score vectors."""
         if not seqs:
             return []
-        v = np.asarray(self.run_prepared(self.prepare(seqs)))
-        return [v[i, : self.states_num] for i in range(len(seqs))]
+        seqs_t, lengths, masked = self.prepare(seqs)
+        v = np.asarray(
+            self._jit_run(seqs_t, lengths, masked=masked, b_real=len(seqs))
+        )
+        return [v[i] for i in range(len(seqs))]
