@@ -55,19 +55,26 @@ def main() -> None:
     # block once at the end — the serving-throughput methodology. The
     # device queue executes in order, so the drain covers all R. R is
     # higher for the fast path so the one queue-drain round trip amortizes.
+    # Per-mode failures are survivable: the driver needs the JSON line, so
+    # a transient compile/tunnel error in one mode must not kill the run.
     results = {}
     for mode, repeats in (("dense", 1), ("structured", 10)):
-        dec = svt.ViterbiDecoder(hmm, mode=mode)
-        handle = dec.prepare_batch(seqs)
+        try:
+            dec = svt.ViterbiDecoder(hmm, mode=mode)
+            handle = dec.prepare_batch(seqs)
 
-        def run(d=dec, h=handle, r=repeats):
-            outs = [d.run_batch(h) for _ in range(r)]
-            block(outs[-1])
+            def run(d=dec, h=handle, r=repeats):
+                outs = [d.run_batch(h) for _ in range(r)]
+                block(outs[-1])
 
-        results[mode] = repeats * total_symbols / _median_time(run)
+            results[mode] = repeats * total_symbols / _median_time(run)
+        except Exception as exc:  # pragma: no cover - transient env failures
+            print(f"[bench] {mode} mode failed: {exc}", file=sys.stderr)
 
+    if not results:
+        raise SystemExit("all benchmark modes failed")
     value = max(results.values())
-    vs = value / results["dense"]
+    vs = value / results["dense"] if "dense" in results else 1.0
     print(
         json.dumps(
             {
