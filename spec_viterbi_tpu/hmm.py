@@ -196,7 +196,16 @@ class HMM:
             self.start_probabilities_cols,
             self.start_probabilities,
         ):
-            h.update(np.ascontiguousarray(arr).tobytes())
+            # shape+dtype delimiters: without them, array byte boundaries
+            # are ambiguous and differently-shaped HMMs could alias; with a
+            # canonical dtype, int32 vs int64 index arrays hash the same
+            a = np.ascontiguousarray(arr)
+            canon = (
+                a.astype(np.int64) if np.issubdtype(a.dtype, np.integer)
+                else a.astype(np.float32)
+            )
+            h.update(repr((canon.shape, str(canon.dtype))).encode())
+            h.update(canon.tobytes())
         return h.hexdigest()[:32]
 
     def validate(self) -> None:
@@ -215,3 +224,5 @@ class HMM:
                 raise ValueError(f"{name} has out-of-range state index")
         if self.trans_rows.shape != self.trans_cols.shape or self.trans_rows.shape != self.trans_probs.shape:
             raise ValueError("COO transition arrays have mismatched lengths")
+        if self.start_probabilities_cols.shape != self.start_probabilities.shape:
+            raise ValueError("start probability arrays have mismatched lengths")

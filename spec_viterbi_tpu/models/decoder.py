@@ -57,12 +57,18 @@ class DeviceHMM:
     padded: int
 
     @classmethod
-    def from_hmm(cls, hmm: HMM, pad: bool = True) -> "DeviceHMM":
+    def from_hmm(cls, hmm: HMM, pad: bool = True, dense: bool = True) -> "DeviceHMM":
+        """``dense=False`` skips the [Np, Np] transition uploads (structured
+        mode reads only emissions/π — 2×23 MB saved on the big models)."""
         np_states = pad_to_lane(hmm.states_num) if pad else hmm.states_num
-        a = hmm.transition_matrix(pad_to=np_states)
+        if dense:
+            a = hmm.transition_matrix(pad_to=np_states)
+            a_t, a_d = jnp.asarray(a.T.copy()), jnp.asarray(a)
+        else:
+            a_t = a_d = None
         return cls(
-            a_t=jnp.asarray(a.T.copy()),
-            a=jnp.asarray(a),
+            a_t=a_t,
+            a=a_d,
             pi=jnp.asarray(hmm.start_vector(pad_to=np_states)),
             emissions=jnp.asarray(hmm.emission_matrix(pad_to=np_states)),
             states_num=hmm.states_num,
@@ -142,6 +148,8 @@ class ViterbiDecoder:
     (cost ratio < 1/8 of dense), else pallas on TPU / dense elsewhere.
     """
 
+    MODES = ("auto", "dense", "pallas", "structured")
+
     def __init__(
         self,
         hmm: HMM,
@@ -149,19 +157,21 @@ class ViterbiDecoder:
         pad: bool = True,
         mode: str = "auto",
     ):
+        if mode not in self.MODES:
+            raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
         self.hmm = hmm
-        self.dev = DeviceHMM.from_hmm(hmm, pad=pad)
-        self.use_pallas = (
-            dispatch.default_use_pallas() if use_pallas is None else use_pallas
-        )
         if use_pallas is not None and mode == "auto":
             # explicit use_pallas request overrides auto mode (back-compat)
             mode = "pallas" if use_pallas else "dense"
+        if use_pallas and not pad:
+            # the dense Pallas kernels require 128-aligned operands
+            raise ValueError("use_pallas=True requires pad=True")
 
+        padded = pad_to_lane(hmm.states_num) if pad else hmm.states_num
         self._sop = None
         self._sop_arrs = None
         if mode in ("auto", "structured"):
-            sop = StructuredOperator.from_hmm(hmm, pad_to=self.dev.padded)
+            sop = StructuredOperator.from_hmm(hmm, pad_to=padded)
             if mode == "structured" or sop.cost_ratio() < 0.125:
                 self._sop = sop
                 self._sop_arrs = sop.device_arrays()
@@ -173,25 +183,35 @@ class ViterbiDecoder:
                 mode = "dense"
         self.mode = mode
         self.use_pallas = mode == "pallas"
+        # structured mode never reads the dense [Np, Np] operators — skip
+        # materializing/uploading 2×23 MB per decoder on the big models
+        self.dev = DeviceHMM.from_hmm(hmm, pad=pad, dense=mode != "structured")
         self._fused = None
         if mode == "structured":
             self._build_structured_fns()
             # On TPU, regular-enough operators get the fused whole-sequence
-            # Pallas kernel for batched scoring.
-            if jax.default_backend() == "tpu" and fused_pallas.fused_eligible(self._sop):
+            # Pallas kernel for batched scoring — unless the caller
+            # explicitly disabled Pallas.
+            if (
+                use_pallas is not False
+                and jax.default_backend() == "tpu"
+                and fused_pallas.fused_eligible(self._sop)
+            ):
                 self._fused = fused_pallas.FusedStructuredDecoder(
                     self._sop,
-                    hmm.emission_matrix(pad_to=self.dev.padded),
-                    hmm.start_vector(pad_to=self.dev.padded),
+                    hmm.emission_matrix(pad_to=padded),
+                    hmm.start_vector(pad_to=padded),
                 )
 
     # ---- structured-mode jitted closures (static decomposition) ---------
 
     def _build_structured_fns(self):
-        sop, arrs = self._sop, self._sop_arrs
+        # operator value arrays are threaded through jit as ARGUMENTS
+        # (closure constants ship to the remote compiler — CLAUDE.md)
+        sop = self._sop
 
         @jax.jit
-        def decode(em, pi, seq):
+        def decode(em, pi, seq, arrs):
             v0 = em[seq[0]] + pi
 
             def step(v, o):
@@ -201,7 +221,7 @@ class ViterbiDecoder:
             return v
 
         @jax.jit
-        def decode_path(em, pi, seq):
+        def decode_path(em, pi, seq, arrs):
             v0 = em[seq[0]] + pi
 
             def step(v, o):
@@ -219,7 +239,7 @@ class ViterbiDecoder:
             return v, jnp.concatenate([rev_path, last[None]])
 
         @jax.jit
-        def decode_batch(em_t, pi, seqs_t, lengths):
+        def decode_batch(em_t, pi, seqs_t, lengths, arrs):
             v_t = em_t[:, seqs_t[0]] + pi[:, None]
 
             def step(carry, xs):
@@ -233,9 +253,12 @@ class ViterbiDecoder:
             v_t, _ = jax.lax.scan(step, v_t, (seqs_t[1:], ts))
             return v_t.T
 
-        self._s_decode = decode
-        self._s_decode_path = decode_path
-        self._s_decode_batch = decode_batch
+        arrs = self._sop_arrs
+        self._s_decode = lambda em, pi, seq: decode(em, pi, seq, arrs)
+        self._s_decode_path = lambda em, pi, seq: decode_path(em, pi, seq, arrs)
+        self._s_decode_batch = lambda em_t, pi, st, ln: decode_batch(
+            em_t, pi, st, ln, arrs
+        )
 
     def decode(self, seq: np.ndarray) -> np.ndarray:
         """``run_Viterbi`` parity: final score vector for one sequence."""

@@ -132,6 +132,7 @@ class SpecializedViterbi:
         self.level = level
         self.pad = pad
         self.cache = cache
+        self._explicit_pallas = use_pallas  # None = backend default
         self.use_pallas = (
             dispatch.default_use_pallas() if use_pallas is None else use_pallas
         )
@@ -180,7 +181,13 @@ class SpecializedViterbi:
         if self.level == 1 and self.pad:
             from spec_viterbi_tpu.models.decoder import ViterbiDecoder
 
-            dec = ViterbiDecoder(hmm, mode="auto")
+            # an explicit use_pallas=False must reach the delegate (it
+            # gates the fused Pallas kernel inside ViterbiDecoder)
+            dec = ViterbiDecoder(
+                hmm,
+                mode="structured",
+                use_pallas=self._explicit_pallas,
+            ) if self._explicit_pallas is False else ViterbiDecoder(hmm, mode="auto")
             if dec.mode == "structured":
                 self._delegate = dec
                 self._specialized = True

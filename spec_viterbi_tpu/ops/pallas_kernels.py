@@ -50,6 +50,7 @@ def _mv_kernel(m_ref, v_ref, o_ref):
 def tropical_mv(M: jax.Array, v: jax.Array) -> jax.Array:
     """``min_j M[i,j] + v[j]`` — one decode step. M: [N, N], v: [N]."""
     n, k = M.shape
+    assert n % BI == 0, f"rows must be {BI}-aligned, got {n} (pad the states)"
     v2 = v.reshape(1, k)
     out = pl.pallas_call(
         _mv_kernel,
@@ -74,6 +75,7 @@ def _mv_argmin_kernel(m_ref, v_ref, o_ref, idx_ref):
 def tropical_mv_argmin(M: jax.Array, v: jax.Array):
     """Decode step returning (scores, argmin backpointers)."""
     n, k = M.shape
+    assert n % BI == 0, f"rows must be {BI}-aligned, got {n} (pad the states)"
     v2 = v.reshape(1, k)
     out, idx = pl.pallas_call(
         _mv_argmin_kernel,
