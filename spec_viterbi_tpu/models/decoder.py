@@ -206,8 +206,14 @@ class ViterbiDecoder:
     # ---- structured-mode jitted closures (static decomposition) ---------
 
     def _build_structured_fns(self):
-        # operator value arrays are threaded through jit as ARGUMENTS
-        # (closure constants ship to the remote compiler — CLAUDE.md)
+        # NOTE: these bodies deliberately DUPLICATE the dense scan/backtrace
+        # skeletons (_decode_scores*) rather than sharing them — dense and
+        # structured are independent implementations that cross-validate in
+        # tests/test_semantic_equality.py, the same role the reference's
+        # separate backends play (test_semantic_equality.cpp:19-98). A
+        # shared skeleton would let one bug hide in both.
+        # Operator value arrays are threaded through jit as ARGUMENTS
+        # (closure constants ship to the remote compiler — CLAUDE.md).
         sop = self._sop
 
         @jax.jit

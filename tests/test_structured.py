@@ -171,3 +171,42 @@ def test_spec_level2_batch_fallback():
     got = spec.run_spec_batch(seqs)
     for g, s in zip(got, seqs):
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
+def test_mode_validation_and_pallas_pad_guard():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    with pytest.raises(ValueError, match="mode must be one of"):
+        ViterbiDecoder(hmm, mode="structure")
+    with pytest.raises(ValueError, match="requires pad=True"):
+        ViterbiDecoder(hmm, use_pallas=True, pad=False)
+
+
+def test_structured_mode_skips_dense_uploads():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    dec = ViterbiDecoder(hmm)  # auto → structured
+    assert dec.dev.a is None and dec.dev.a_t is None
+    dense = ViterbiDecoder(hmm, mode="dense")
+    assert dense.dev.a is not None
+
+
+def test_fingerprint_distinguishes_start_array_shapes():
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+
+    base = dict(
+        states_num=4,
+        emit_num=2,
+        trans_rows=np.array([0, 1], dtype=np.int64),
+        trans_cols=np.array([1, 2], dtype=np.int64),
+        trans_probs=to_modified_prob_np(np.array([0.5, 0.5])),
+        emissions=to_modified_prob_np(np.full((2, 4), 0.5)),
+    )
+    h1 = HMM(**base, start_probabilities_cols=np.array([0], dtype=np.int64),
+             start_probabilities=to_modified_prob_np(np.array([1.0])))
+    h2 = HMM(**base, start_probabilities_cols=np.array([0, 1], dtype=np.int64),
+             start_probabilities=to_modified_prob_np(np.array([0.5, 0.5])))
+    assert h1.fingerprint() != h2.fingerprint()
+    # canonical dtypes: int32 vs int64 index arrays hash identically
+    h3 = HMM(**{**base, "trans_rows": base["trans_rows"].astype(np.int32)},
+             start_probabilities_cols=np.array([0], dtype=np.int64),
+             start_probabilities=to_modified_prob_np(np.array([1.0])))
+    assert h1.fingerprint() == h3.fingerprint()
