@@ -15,13 +15,32 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
 BENCH_RUNS = 5
+# Per-mode wall-clock budget: remote compiles occasionally stall; a hung
+# mode must not take the whole benchmark (the driver needs the JSON line).
+MODE_TIMEOUT_S = 480
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    def _raise(signum, frame):
+        raise TimeoutError(f"mode exceeded {seconds}s budget")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 CHMM = "/root/reference/chmm_files/2405.chmm"
 ESS = "/root/reference/ess_files/emit_50_3500_20.ess"
 
@@ -58,16 +77,17 @@ def main() -> None:
     # Per-mode failures are survivable: the driver needs the JSON line, so
     # a transient compile/tunnel error in one mode must not kill the run.
     results = {}
-    for mode, repeats in (("dense", 1), ("structured", 10)):
+    for mode, repeats in (("structured", 10), ("dense", 1)):
         try:
-            dec = svt.ViterbiDecoder(hmm, mode=mode)
-            handle = dec.prepare_batch(seqs)
+            with _deadline(MODE_TIMEOUT_S):
+                dec = svt.ViterbiDecoder(hmm, mode=mode)
+                handle = dec.prepare_batch(seqs)
 
-            def run(d=dec, h=handle, r=repeats):
-                outs = [d.run_batch(h) for _ in range(r)]
-                block(outs[-1])
+                def run(d=dec, h=handle, r=repeats):
+                    outs = [d.run_batch(h) for _ in range(r)]
+                    block(outs[-1])
 
-            results[mode] = repeats * total_symbols / _median_time(run)
+                results[mode] = repeats * total_symbols / _median_time(run)
         except Exception as exc:  # pragma: no cover - transient env failures
             print(f"[bench] {mode} mode failed: {exc}", file=sys.stderr)
 
