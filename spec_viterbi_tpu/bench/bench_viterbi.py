@@ -52,8 +52,17 @@ def benchmark_viterbi_impls_to_dat_file(
     """Non-spec benchmark: one column per execution mode
     (``bench_Viterbi.h:17-69``)."""
     seqs = read_emit_seq(ess_path)
+    max_sym = max((int(s.max()) for s in seqs if len(s)), default=-1)
     bench: dict[int, list[float]] = {}
     for path, hmm in _iter_models(chmm_dir, max_states):
+        if hmm.emit_num <= max_sym:
+            # mismatched model/dataset alphabets now raise at decode; the
+            # sweep-all-models driver skips such pairs explicitly instead
+            print(
+                f"[bench] skipping {os.path.basename(path)}: alphabet "
+                f"{hmm.emit_num} does not cover dataset symbols (max {max_sym})"
+            )
+            continue
         if hmm.states_num in bench:
             # .dat rows are keyed by state count (benchmark_helper.h:68-89);
             # a second same-size model would corrupt the table — skip it.
@@ -112,8 +121,15 @@ def benchmark_viterbi_spec_impls_to_dat_file(
         for level in levels:
             headers += [f"{name}_{level}_prep", f"{name}_{level}"]
 
+    max_sym = max((int(s.max()) for s in seqs if len(s)), default=-1)
     bench: dict[int, list[float]] = {}
     for path, hmm in _iter_models(chmm_dir, max_states):
+        if hmm.emit_num <= max_sym:
+            print(
+                f"[bench-spec] skipping {os.path.basename(path)}: alphabet "
+                f"{hmm.emit_num} does not cover dataset symbols (max {max_sym})"
+            )
+            continue
         if hmm.states_num in bench:
             print(
                 f"[bench-spec] skipping {os.path.basename(path)}: a model "

@@ -60,14 +60,23 @@ def _fmt(t: float) -> str:
 
 
 def sum_dat_columns(path: str) -> dict[str, float]:
-    """Column sums of a `.dat` file (benchmark/sum_dat.py:1-14 parity)."""
+    """Column sums of a `.dat` file (benchmark/sum_dat.py:1-14 parity).
+
+    NaN cells (the spec benchmark's over-memory-budget markers,
+    ``bench_viterbi.py``) are skipped rather than poisoning the column sum;
+    a column whose every cell is NaN sums to NaN so the gap stays visible.
+    """
     with open(path) as f:
         headers = f.readline().split("\t")
         headers = [h.strip() for h in headers]
         sums = np.zeros(len(headers))
+        seen = np.zeros(len(headers), dtype=bool)
         for line in f:
-            vals = [float(x) for x in line.split("\t")]
-            sums[: len(vals)] += vals
+            vals = np.array([float(x) for x in line.split("\t")])
+            finite = ~np.isnan(vals)
+            sums[: len(vals)] += np.where(finite, vals, 0.0)
+            seen[: len(vals)] |= finite
+    sums = np.where(seen, sums, np.nan)
     return dict(zip(headers, sums.tolist()))
 
 

@@ -76,6 +76,31 @@ def is_not_zero_mod_prob(x: float) -> bool:
     return not almost_equal(x, ZERO_PROB)
 
 
+def validate_obs_seq(seq, emit_num: int) -> np.ndarray:
+    """Validate an observation sequence against the model's alphabet.
+
+    Returns the sequence as a contiguous int32 array. Raises ``ValueError``
+    on any symbol outside ``[0, emit_num)`` — without this check a
+    mismatched ``.chmm``/``.ess`` pair decodes garbage silently: JAX
+    gathers clamp out-of-range indices and the fused kernel's in-kernel
+    one-hot comes out all-zero (not even a NaN). The reference has the
+    same silent failure mode (``data_reader.cpp`` never cross-checks
+    symbols against ``emit_num``); raising here is a deliberate upgrade.
+    """
+    arr = np.ascontiguousarray(np.asarray(seq, dtype=np.int32))
+    if arr.ndim != 1:
+        raise ValueError(f"observation sequence must be 1-D, got shape {arr.shape}")
+    if arr.size:
+        lo, hi = int(arr.min()), int(arr.max())
+        if lo < 0 or hi >= emit_num:
+            raise ValueError(
+                f"observation symbol out of range: sequence contains "
+                f"{lo if lo < 0 else hi} but the model emits {emit_num} "
+                f"symbols (0..{emit_num - 1}) — mismatched .chmm/.ess pair?"
+            )
+    return arr
+
+
 def pad_to_lane(n: int, lane: int = LANE) -> int:
     """Round ``n`` up to a multiple of ``lane`` (min ``lane``)."""
     return max(lane, ((n + lane - 1) // lane) * lane)

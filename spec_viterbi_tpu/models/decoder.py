@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane, validate_obs_seq
 from spec_viterbi_tpu.ops import dispatch
 from spec_viterbi_tpu.ops import fused_pallas
 from spec_viterbi_tpu.utils.batching import pad_batch
@@ -270,7 +270,7 @@ class ViterbiDecoder:
         """``run_Viterbi`` parity: final score vector for one sequence."""
         if self._fused is not None:
             return self.decode_batch([np.asarray(seq)])[0]
-        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        seq = jnp.asarray(validate_obs_seq(seq, self.hmm.emit_num))
         if self.mode == "structured":
             v = self._s_decode(self.dev.emissions, self.dev.pi, seq)
         else:
@@ -281,7 +281,7 @@ class ViterbiDecoder:
 
     def decode_path(self, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(scores, path) — backtrace extension (not in the reference)."""
-        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        seq = jnp.asarray(validate_obs_seq(seq, self.hmm.emit_num))
         if self.mode == "structured":
             v, path = self._s_decode_path(self.dev.emissions, self.dev.pi, seq)
         else:
@@ -317,6 +317,7 @@ class ViterbiDecoder:
         """
         if self._fused is not None:
             return self._fused.prepare(seqs)
+        seqs = [validate_obs_seq(s, self.hmm.emit_num) for s in seqs]
         # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
         # paths only need the f32 sublane.
         lane = 128 if self.use_pallas else SUBLANE

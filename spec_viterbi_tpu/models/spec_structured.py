@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane, validate_obs_seq
 from spec_viterbi_tpu.ops import structured_compose as sc
 from spec_viterbi_tpu.ops.structured import StructuredOperator
 
@@ -167,6 +167,6 @@ class StructuredSpecializedViterbi:
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
         if not self._specialized:
             raise RuntimeError("call spec_with(hmm) before run_spec(seq)")
-        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        seq = jnp.asarray(validate_obs_seq(seq, self.emit_num))
         v = self._decode(seq)
         return np.asarray(v[: self.states_num])

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spec_viterbi_tpu.hmm import HMM, pad_to_lane
+from spec_viterbi_tpu.hmm import HMM, pad_to_lane, validate_obs_seq
 from spec_viterbi_tpu.ops import dispatch
 
 
@@ -243,7 +243,7 @@ class SpecializedViterbi:
             raise RuntimeError("call spec_with(hmm) before run_spec(seq)")
         if self._delegate is not None:
             return self._delegate.decode(seq)
-        seq = jnp.asarray(np.asarray(seq, dtype=np.int32))
+        seq = jnp.asarray(validate_obs_seq(seq, self.emit_num))
         v = self._decode(seq)
         return np.asarray(v[: self.states_num])
 

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spec_viterbi_tpu.hmm import MOD_PROB_DTYPE
+from spec_viterbi_tpu.hmm import MOD_PROB_DTYPE, validate_obs_seq
 from spec_viterbi_tpu.ops.structured import StructuredOperator
 from spec_viterbi_tpu.utils.batching import pad_batch
 
@@ -68,6 +68,7 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
     col_idx = sop.col_idx
+    n = sop.n  # pltpu.roll needs non-negative shifts; wrap rows are +inf-baked
     residual = list(
         zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
     )
@@ -97,7 +98,9 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
             )  # [Np, B]
             v = o_ref[:]
             bulk = [
-                dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
+                # d % n: pltpu.roll requires a non-negative shift; the cyclic
+                # wrap rows carry +inf in dv, so the wrap never contributes
+                dv_ref[:, k : k + 1] + pltpu.roll(v, d % n, axis=0)
                 for k, d in enumerate(diag_offsets)
             ] + [
                 rv_ref[:, k : k + 1] + v[s : s + 1, :]
@@ -149,6 +152,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
     col_idx = sop.col_idx
+    n = sop.n  # pltpu.roll needs non-negative shifts; wrap rows are +inf-baked
     residual = list(
         zip(sop.res_src.tolist(), sop.res_dst.tolist(), range(sop.residual_nnz))
     )
@@ -174,7 +178,7 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
 
         u = src = None
         for k, d in enumerate(diag_offsets):
-            cand = dv_ref[:, k : k + 1] + pltpu.roll(v, d, axis=0)
+            cand = dv_ref[:, k : k + 1] + pltpu.roll(v, d % n, axis=0)
             cand_src = rows - d
             if u is None:
                 u = cand
@@ -489,6 +493,7 @@ class FusedStructuredDecoder:
         A uniform-length batch compiles the mask out of the kernel
         (padding lanes evolve freely and are sliced off on extraction).
         """
+        seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
         batch, lengths = pad_batch(seqs, BB, min_t=2)
         # mask when lengths differ OR when min_t padding added a timestep
         # (a uniform length-1 batch would otherwise run one bogus step)

@@ -43,7 +43,8 @@ def structured_tp_supported(sop: StructuredOperator, shards: int) -> bool:
     if sop.n % shards != 0:
         return False
     block = sop.n // shards
-    return all(0 < abs(d) < block for d in sop.diag_offsets)
+    # d == 0 (self-loop diagonal) needs no halo at all — always supported
+    return all(abs(d) < block for d in sop.diag_offsets)
 
 
 def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
@@ -100,6 +101,10 @@ def make_structured_tp_decode(sop: StructuredOperator, mesh: Mesh):
             # diagonals: shift + halo from the adjacent shard
             for k, d in enumerate(diag_offsets):
                 w = abs(d)
+                if d == 0:
+                    # self-loop diagonal: purely local, no halo exchange
+                    u = jnp.minimum(u, dv_blk[k][:, None] + v_blk)
+                    continue
                 if d > 0:
                     # u[i] needs v[i-d]: top d rows come from left neighbor
                     halo = jax.lax.ppermute(

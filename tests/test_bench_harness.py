@@ -38,11 +38,28 @@ def test_dat_writer_and_sum(tmp_path):
     assert sums["b"] == 8.0
 
 
+def test_sum_dat_skips_nan_cells(tmp_path):
+    """Over-budget spec cells are NaN; sum-dat must skip them, not poison
+    the column (VERDICT r1 weak #7). An all-NaN column stays NaN."""
+    out = tmp_path / "spec.dat"
+    harness.print_benchmarks_to_file_as_dat(
+        str(out),
+        ["States", "ok", "partial", "dead"],
+        {100: [1.0, float("nan"), float("nan")], 200: [2.0, 5.0, float("nan")]},
+    )
+    sums = harness.sum_dat_columns(str(out))
+    assert sums["ok"] == 3.0
+    assert sums["partial"] == 5.0
+    assert np.isnan(sums["dead"])
+
+
 def test_nonspec_bench_driver(tmp_path):
     out = tmp_path / "bench.dat"
+    # 2_test_seq's symbols (max 2) fit fixtures 0/2/3; fixture 1 (2-symbol
+    # alphabet) must be skipped by the driver's alphabet guard
     bench = benchmark_viterbi_impls_to_dat_file(
         TEST_CHMMS,
-        os.path.join(TEST_SEQS, "0_test_seq.ess"),
+        os.path.join(TEST_SEQS, "2_test_seq.ess"),
         str(out),
         modes=("dense",),
         times_to_run=1,

@@ -147,6 +147,53 @@ def test_fused_large_alphabet_e_pad():
     assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq))
 
 
+def test_fused_negative_diag_offset():
+    """A subdiagonal (i → i−1 chain) must decode through the fused kernel:
+    pltpu.roll only accepts non-negative shifts, so negative offsets roll by
+    ``d % n`` (wrap rows carry +inf in the diagonal values)."""
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+
+    rng = np.random.default_rng(11)
+    states = 40
+    # dense fan-out row 0 + descending chain i -> i-1 (offset -1 diagonal)
+    rows = [0] * states + list(range(2, states))
+    cols = list(range(states)) + list(range(1, states - 1))
+    probs = rng.uniform(0.1, 1.0, size=len(rows))
+    hmm = HMM(
+        states_num=states,
+        emit_num=4,
+        trans_rows=np.asarray(rows, dtype=np.int64),
+        trans_cols=np.asarray(cols, dtype=np.int64),
+        trans_probs=to_modified_prob_np(probs),
+        emissions=to_modified_prob_np(rng.uniform(0.1, 1.0, size=(4, states))),
+        start_probabilities_cols=np.array([0, states - 1], dtype=np.int64),
+        start_probabilities=to_modified_prob_np(np.array([0.5, 0.5])),
+    )
+    sop = StructuredOperator.from_hmm(hmm)
+    assert any(d < 0 for d in sop.diag_offsets), sop.diag_offsets
+    fd = _fused_for(hmm)
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    for t in (2, 17, 33):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        got = fd.decode_batch([seq])[0]
+        assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq)), t
+        (scores, path), = fd.decode_path_batch([seq])
+        oscores, opath = viterbi_path_oracle(hmm, seq)
+        assert almost_equal_vec(scores, oscores), t
+        assert np.array_equal(path, opath), t
+
+
+def test_fused_rejects_out_of_range_symbols():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    bad = np.array([0, hmm.emit_num, 1], dtype=np.int32)
+    with pytest.raises(ValueError, match="out of range"):
+        fd.decode_batch([bad])
+    with pytest.raises(ValueError, match="out of range"):
+        fd.decode_path_batch([np.array([-1, 0], dtype=np.int32)])
+
+
 def test_fused_uniform_length_one_batch():
     """A uniform batch of length-1 sequences must not run the min_t padding
     step unmasked (regression: masked=False skipped the freeze)."""
