@@ -331,7 +331,10 @@ class FusedStructuredDecoder:
         t_steps = obs.shape[0]
         b = obs.shape[2]
 
-        unroll = self.unroll if b == BB else 1
+        # multi-block batches (b = k·BB) unroll too: the seq BlockSpec
+        # indexes (t, 0, i) so each lane block sees its own symbol stream
+        # (validated vs oracle in interpret mode and on hardware)
+        unroll = self.unroll if b % BB == 0 else 1
         chunks, tail = divmod(t_steps, unroll)
         out = v0
         if chunks:

@@ -205,6 +205,22 @@ def test_fused_uniform_length_one_batch():
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
 
 
+def test_fused_multi_block_batch_unrolled():
+    """Batches over 128 lanes keep the unrolled kernel (round-1 dropped to
+    unroll=1 for b != 128; the seq BlockSpec indexes per lane block)."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(13)
+    # 150 ragged sequences -> 256 lanes (2 blocks), odd lengths hit the tail
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=rng.integers(2, 23)).astype(np.int32)
+        for _ in range(150)
+    ]
+    got = fd.decode_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
 def test_fused_ragged_lengths_frozen_lanes():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
