@@ -41,12 +41,34 @@ def _split(comps: list, n: int):
 
 
 class StructuredSpecializedViterbi:
-    """Re-specializable level-L decoder over structured tuple operators."""
+    """Re-specializable level-L decoder over structured tuple operators.
 
-    def __init__(self, level: int = 1):
+    Two decode realizations cross-validate (the reference's multi-backend
+    role, ``test_semantic_equality.cpp:19-98``):
+
+    - **composed**: the stored level-L component vectors (diag stacks +
+      rank-1 u/w) gathered per tuple index and applied — the direct
+      materialization of ``precalc_obs_handlers.at(tuple) ⊗ v``
+      (``GraphBLAS_spec_impl.cpp:64-81``). Runs everywhere; the batched
+      form gathers per-lane tuples.
+    - **fused** (TPU, fused-eligible operators): the tuple operator applied
+      in *factored* form — the precomputed level-1 structured operators
+      consumed ``level`` symbols per grid step inside the whole-sequence
+      Pallas kernel. On TPU the factored form is strictly faster than
+      materialized composition: composing squares the dense row/col
+      interactions (each level-2 tuple needs two extra full col-reduces
+      *plus* their shift/add prep, ~6 VPU passes, to avoid one ~3-pass
+      intermediate-carry materialization — see BASELINE.md §"specialization
+      analysis"). Factored application is also bit-identical to the
+      non-specialized order, so spec-vs-non-spec equality is exact rather
+      than ±1.0.
+    """
+
+    def __init__(self, level: int = 1, use_pallas: bool | None = None):
         if level < 1:
             raise ValueError("level must be >= 1 (Viterbi_spec_impl.h:20-23)")
         self.level = level
+        self._explicit_pallas = use_pallas
         self._specialized = False
 
     def get_level(self) -> int:
@@ -64,6 +86,10 @@ class StructuredSpecializedViterbi:
         return (emit_num**level) * vectors * pad_to_lane(states_num) * 4
 
     def spec_with(self, hmm: HMM) -> None:
+        # deleter(); initializer(hmm, level) semantics
+        # (GraphBLAS_spec_impl.cpp:45-48): drop previous operators first
+        self._specialized = False
+        self._fused = None
         n = pad_to_lane(hmm.states_num)
         self.n = n
         self.states_num = hmm.states_num
@@ -133,6 +159,20 @@ class StructuredSpecializedViterbi:
         )
         self.start_ops = jnp.asarray(em + pi[None, :])  # [E, N]
         self._build_decode()
+
+        # TPU + regular operator: factored fused kernel for batched decode
+        # (and single-sequence, unless use_pallas=False pins the composed
+        # path — the independent implementation tests cross-validate with)
+        self._fused = None
+        if self._explicit_pallas is not False:
+            import jax as _jax
+
+            from spec_viterbi_tpu.ops import fused_pallas
+
+            if _jax.default_backend() == "tpu" and fused_pallas.fused_eligible(sop):
+                self._fused = fused_pallas.FusedStructuredDecoder(
+                    sop, em, pi, unroll=min(self.level, 2)
+                )
         self._specialized = True
 
     def _build_decode(self):
@@ -164,9 +204,93 @@ class StructuredSpecializedViterbi:
             operands=(start_ops, dv, uu, ww, dv1, uu1, ww1),
         )
 
+        def apply_batch(offsets, dvb, uub, wwb, v):
+            # dvb [B, D, N], uub/wwb [B, R, N] per-lane gathered tuple
+            # components; v [N, B] state-major carry
+            out = jnp.full(v.shape, jnp.inf, v.dtype)
+            for k, d in enumerate(offsets):
+                out = jnp.minimum(out, dvb[:, k, :].T + jnp.roll(v, d, axis=0))
+            if uub.shape[1]:
+                dots = jnp.min(wwb + v.T[:, None, :], axis=2)  # [B, R]
+                cand = jnp.min(uub + dots[:, :, None], axis=1)  # [B, N]
+                out = jnp.minimum(out, cand.T)
+            return out
+
+        @jax.jit
+        def decode_batch_uniform(seqs_t, operands):
+            """Uniform-length batched chunked decode; seqs_t [T, B] int32.
+
+            The per-chunk tuple index is per-lane ([B]); the chunk applies
+            each lane's gathered component vectors — the batched analog of
+            ``precalc_obs_handlers.at(tuple)`` (GraphBLAS_spec_impl.cpp:67-81)
+            with the same positional chunk/tail split as the scalar path.
+            """
+            start_ops, dv, uu, ww, dv1, uu1, ww1 = operands
+            v = start_ops[seqs_t[0]].T  # [N, B]
+            rest = seqs_t[1:]
+            t_rest = rest.shape[0]
+            n_full = t_rest // level
+            tail = t_rest - n_full * level
+            if n_full:
+                chunks = rest[: n_full * level].reshape(n_full, level, -1)
+                radix = emit_num ** jnp.arange(level, dtype=jnp.int32)
+                idxs = jnp.sum(chunks * radix[None, :, None], axis=1)  # [n_full, B]
+                v, _ = jax.lax.scan(
+                    lambda v, i: (
+                        apply_batch(tuple_offsets, dv[i], uu[i], ww[i], v),
+                        None,
+                    ),
+                    v,
+                    idxs,
+                )
+            if tail:
+                v, _ = jax.lax.scan(
+                    lambda v, o: (
+                        apply_batch(l1_offsets, dv1[o], uu1[o], ww1[o], v),
+                        None,
+                    ),
+                    v,
+                    rest[n_full * level :],
+                )
+            return v.T
+
+        operands = (start_ops, dv, uu, ww, dv1, uu1, ww1)
+        self._decode_batch_uniform = lambda seqs_t: decode_batch_uniform(
+            seqs_t, operands
+        )
+
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
         if not self._specialized:
             raise RuntimeError("call spec_with(hmm) before run_spec(seq)")
+        if self._fused is not None:
+            return self._fused.decode_batch([np.asarray(seq)])[0]
         seq = jnp.asarray(validate_obs_seq(seq, self.emit_num))
         v = self._decode(seq)
         return np.asarray(v[: self.states_num])
+
+    def run_spec_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+        """Batched specialized decode (DP extension of ``run_Viterbi_spec``).
+
+        On TPU with a fused-eligible operator the whole batch rides the
+        factored fused kernel (any raggedness handled by per-substep lane
+        masks). The composed path needs positionally aligned chunk/tail
+        boundaries, so it buckets lanes by exact length and decodes each
+        uniform bucket as one device program.
+        """
+        if not self._specialized:
+            raise RuntimeError("call spec_with(hmm) before run_spec_batch")
+        if not seqs:
+            return []
+        if self._fused is not None:
+            return self._fused.decode_batch(seqs)
+        seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
+        out: list[np.ndarray | None] = [None] * len(seqs)
+        by_len: dict[int, list[int]] = {}
+        for i, s in enumerate(seqs):
+            by_len.setdefault(len(s), []).append(i)
+        for _, idxs in sorted(by_len.items()):
+            batch = np.stack([seqs[i] for i in idxs], axis=1)  # [T, b]
+            v = np.asarray(self._decode_batch_uniform(jnp.asarray(batch)))
+            for j, i in enumerate(idxs):
+                out[i] = v[j, : self.states_num]
+        return out

@@ -27,6 +27,8 @@ Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -242,6 +244,13 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             src_ref[0, row : row + 1, :] = ps.astype(jnp.int16)
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("extra",))
+def _pad_lanes(seqs_t, extra: int):
+    """Device-side lane padding (symbol 0 — any valid symbol works; the
+    padding lanes are sliced off on extraction)."""
+    return jnp.pad(seqs_t, ((0, 0), (0, extra)))
 
 
 def _backtrace_kernel(src_ref, last_ref, path_ref, state_ref):
@@ -495,13 +504,24 @@ class FusedStructuredDecoder:
 
         A uniform-length batch compiles the mask out of the kernel
         (padding lanes evolve freely and are sliced off on extraction).
+        Lane padding to the 128-block happens ON DEVICE: the host ships
+        only the real sequences (H2D through the axon tunnel is ~60 MB/s,
+        so a single 3,500-symbol sequence uploads 14 KB instead of the
+        1.8 MB padded block — the difference between a ~31 ms and ~57 ms
+        single-sequence decode).
         """
         seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
-        batch, lengths = pad_batch(seqs, BB, min_t=2)
+        batch, lengths = pad_batch(seqs, 1, min_t=2)  # time padding only
+        b_real = batch.shape[0]
+        b_pad = ((b_real + BB - 1) // BB) * BB
+        seqs_t = jnp.asarray(batch.T.copy())  # [T, b_real]
+        if b_pad != b_real:
+            seqs_t = _pad_lanes(seqs_t, b_pad - b_real)
+            lengths = np.pad(lengths, (0, b_pad - b_real))
         # mask when lengths differ OR when min_t padding added a timestep
         # (a uniform length-1 batch would otherwise run one bogus step)
         masked = len({len(s) for s in seqs}) > 1 or max(len(s) for s in seqs) < 2
-        return jnp.asarray(batch.T.copy()), jnp.asarray(lengths[None, :]), masked
+        return seqs_t, jnp.asarray(lengths[None, :]), masked
 
     def run_prepared(self, handle) -> jax.Array:
         """Fused decode of a prepared batch; returns [B, Np] device scores."""

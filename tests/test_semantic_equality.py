@@ -77,8 +77,11 @@ def test_all_paths_agree(model, sequences):
         results.update(
             {name: s.run_spec(seq) for name, s in spec_impls.items()}
         )
-        # batched path of one mode too (the DP upgrade must agree)
+        # batched paths too (the DP upgrades must agree)
         results["dense_batched"] = non_spec["dense"].decode_batch([seq])[0]
+        results["spec_struct_L2_batched"] = spec_impls[
+            "spec_struct_L2"
+        ].run_spec_batch([seq])[0]
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))

@@ -83,6 +83,31 @@ def test_structured_spec_matches_dense_spec_on_corpus(level):
         assert almost_equal_vec(got, viterbi_scores_oracle(hmm, seq)), (level, t)
 
 
+@pytest.mark.parametrize("level", [1, 2, 3])
+def test_structured_spec_batched_matches_scalar(level):
+    """run_spec_batch (per-lane tuple gather, length-bucketed) must agree
+    with the scalar chunked path and the oracle on ragged batches."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    rng = np.random.default_rng(23)
+    spec = StructuredSpecializedViterbi(level=level)
+    spec.spec_with(hmm)
+    # ragged lengths incl. chunk-boundary cases: len-1 ≡ 0/1/2 (mod level)
+    lens = (1, 2, 3, 7, 40, 41, 42, 7)
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens]
+    got = spec.run_spec_batch(seqs)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, spec.run_spec(s)), len(s)
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
+def test_structured_spec_batched_rejects_bad_symbols():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    spec = StructuredSpecializedViterbi(level=2)
+    spec.spec_with(hmm)
+    with pytest.raises(ValueError, match="out of range"):
+        spec.run_spec_batch([np.array([0, hmm.emit_num], dtype=np.int32)])
+
+
 def test_structured_spec_respecialization(fixture_paths):
     spec = StructuredSpecializedViterbi(level=2)
     h0 = read_hmm(fixture_paths[0][0])
