@@ -328,12 +328,13 @@ class FusedStructuredDecoder:
             self._run_path, static_argnames=("masked", "b_real")
         )
 
-    def _run(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
-        """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
+    def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
+        """State-major fused decode: [T, B] symbols → [Np, B] scores.
 
-        Returns [B, Np] scores with ``BIG``-range values mapped to +inf;
-        ``b_real`` (static) slices padding lanes off on device so the
-        host transfer only carries real sequences.
+        The shard_map DP wrapper (``parallel.sharded.make_fused_dp``) calls
+        this directly on each device's lane block — the batch axis is
+        embarrassingly parallel, so the pallas_call runs unmodified on the
+        local shard with zero collectives.
         """
         v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
         obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
@@ -354,8 +355,16 @@ class FusedStructuredDecoder:
             out = self._pallas(
                 out, obs[chunks * unroll :], lengths, masked, tail, chunks * unroll
             )
-        out = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
-        out = out.T
+        return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
+
+    def _run(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
+        """seqs_t: [T, B] int32 time-major; lengths: [1, B] int32.
+
+        Returns [B, Np] scores with ``BIG``-range values mapped to +inf;
+        ``b_real`` (static) slices padding lanes off on device so the
+        host transfer only carries real sequences.
+        """
+        out = self._scores_core(seqs_t, lengths, masked).T
         return out if b_real is None else out[:b_real, : self.states_num]
 
     def _pallas(self, v0, obs, lengths, masked: bool, unroll: int, t0: int):
@@ -393,12 +402,11 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
-    def _run_path(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
-        """Fused decode emitting (scores [B, Np], paths [B, T]).
+    def _path_core(self, seqs_t, lengths, masked: bool):
+        """State-major fused path decode: → (scores [Np, B], path [T, B]).
 
-        The kernel stores the winning source state per (step, state, lane)
-        as int16; backtrace is a reverse per-lane gather scan on device, so
-        only the [B, T] paths cross back to the host.
+        Like ``_scores_core``, directly shardable over the lane axis with
+        shard_map (the backtrace kernel is per-lane too).
         """
         n = self.n
         t_total, b = seqs_t.shape
@@ -466,6 +474,16 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(src, last)
         path = jnp.concatenate([rev[:, 0, :], last], axis=0)  # [T, B]
+        return scores, path
+
+    def _run_path(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
+        """Fused decode emitting (scores [B, Np], paths [B, T]).
+
+        The kernel stores the winning source state per (step, state, lane)
+        as int16; backtrace is a reverse per-lane gather scan on device, so
+        only the [B, T] paths cross back to the host.
+        """
+        scores, path = self._path_core(seqs_t, lengths, masked)
         scores, path = scores.T, path.T
         if b_real is not None:
             scores = scores[:b_real, : self.states_num]

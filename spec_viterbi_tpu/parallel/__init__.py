@@ -15,10 +15,13 @@ from spec_viterbi_tpu.parallel.mesh import (
 )
 from spec_viterbi_tpu.parallel.sharded import (
     decode_batch_dp,
+    decode_batch_dp_fused,
     decode_batch_dp_tp,
+    decode_path_batch_dp_fused,
     decode_time_parallel,
     decode_tp,
     make_dp_tp_decode,
+    make_fused_dp,
     make_time_parallel_decode,
     make_tp_decode,
 )
@@ -39,7 +42,10 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "decode_batch_dp",
+    "decode_batch_dp_fused",
     "decode_batch_dp_tp",
+    "decode_path_batch_dp_fused",
+    "make_fused_dp",
     "decode_time_parallel",
     "decode_tp",
     "make_dp_tp_decode",

@@ -83,10 +83,11 @@ def decode_batch_dp(
     d = mesh.shape[DATA_AXIS]
     if use_pallas and d > 1:
         # a pallas_call under plain GSPMD jit has no partitioning rule;
-        # the shard_map-based decode_batch_dp_tp is the Pallas multi-chip path
+        # the shard_map-based paths are the Pallas multi-chip answer
         raise ValueError(
             "decode_batch_dp cannot shard Pallas kernels; use "
-            "decode_batch_dp_tp (shard_map) or use_pallas=False"
+            "decode_batch_dp_fused (fused kernel), decode_batch_dp_tp "
+            "(shard_map), or use_pallas=False"
         )
     lane = 128 if use_pallas else 8
     batch, lengths = pad_batch(seqs, d * lane)
@@ -103,6 +104,96 @@ def decode_batch_dp(
 
     v = np.asarray(_dp_decode(a, pi, em_t, seqs_t, lengths_d, use_pallas))
     return [v[i, : dev.states_num] for i in range(len(seqs))]
+
+
+# --------------------------------------------------------------------------
+# DP for the fused Pallas kernel: shard_map over the lane (batch) axis.
+# A pallas_call has no partitioning rule under plain GSPMD jit; shard_map
+# runs the unmodified kernel per device on its local 128-aligned lane block
+# with zero collectives — the flagship kernel's multi-chip path.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_dp(fd, mesh: Mesh, masked: bool = True):
+    """Jitted (scores_fn, path_fn) running ``fd``'s fused kernels DP-sharded.
+
+    ``fd`` is a :class:`~spec_viterbi_tpu.ops.fused_pallas.FusedStructuredDecoder`
+    (hashable by identity; its operator arrays are small VMEM-resident
+    constants). Inputs are globally shaped [T, B] / [1, B] with the lane
+    axis sharded over ``data``; each shard must be a multiple of 128 lanes.
+    """
+    from jax.sharding import PartitionSpec as P  # local alias
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation; the body is collective-free (pure per-lane work), so the
+    # varying-axis check adds nothing here.
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )
+    def scores_body(seqs_t, lengths):
+        return fd._scores_core(seqs_t, lengths, masked)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    def path_body(seqs_t, lengths):
+        return fd._path_core(seqs_t, lengths, masked)
+
+    return jax.jit(scores_body), jax.jit(path_body)
+
+
+def _fused_dp_stage(fd, seqs, mesh):
+    """Pad/validate/shard a batch for the fused DP path."""
+    from spec_viterbi_tpu.hmm import validate_obs_seq
+    from spec_viterbi_tpu.ops.fused_pallas import BB
+
+    seqs = [validate_obs_seq(s, fd.emit_num) for s in seqs]
+    d = mesh.shape[DATA_AXIS]
+    batch, lengths = pad_batch(seqs, d * BB, min_t=2)
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    seqs_t = jax.device_put(batch.T.copy(), sh)
+    lengths_d = jax.device_put(lengths[None, :], sh)
+    return seqs_t, lengths_d
+
+
+def decode_batch_dp_fused(fd, seqs: list[np.ndarray], mesh: Mesh) -> list[np.ndarray]:
+    """Fused-kernel batched decode sharded over ``data``; score vectors."""
+    if not seqs:
+        return []
+    seqs_t, lengths_d = _fused_dp_stage(fd, seqs, mesh)
+    scores_fn, _ = make_fused_dp(fd, mesh)
+    v = np.asarray(scores_fn(seqs_t, lengths_d))  # [Np, B]
+    return [v[: fd.states_num, i] for i in range(len(seqs))]
+
+
+def decode_path_batch_dp_fused(
+    fd, seqs: list[np.ndarray], mesh: Mesh
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Fused-kernel batched path decode sharded over ``data``.
+
+    Returns [(scores, exact path)] per sequence with the oracle's
+    tie-breaking — the multi-chip form of ``decode_path_batch``.
+    """
+    if not seqs:
+        return []
+    seqs_t, lengths_d = _fused_dp_stage(fd, seqs, mesh)
+    _, path_fn = make_fused_dp(fd, mesh)
+    scores, paths = path_fn(seqs_t, lengths_d)
+    scores = np.asarray(scores)  # [Np, B]
+    paths = np.asarray(paths)  # [T, B]
+    return [
+        (scores[: fd.states_num, i], paths[: len(s), i].astype(np.int32))
+        for i, s in enumerate(seqs)
+    ]
 
 
 # --------------------------------------------------------------------------

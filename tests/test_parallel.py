@@ -122,3 +122,48 @@ def test_dp_handles_ragged_lengths(production_model):
     got = decode_batch_dp(dev, seqs, mesh)
     for g, s in zip(got, seqs):
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
+def _fused_for(hmm):
+    from spec_viterbi_tpu.ops.fused_pallas import FusedStructuredDecoder
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    sop = StructuredOperator.from_hmm(hmm)
+    return FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_fused_dp_scores_match_oracle(production_model, d):
+    """The fused kernel DP-sharded over the data axis (shard_map wrapper,
+    interpret-mode kernels on the CPU mesh) — VERDICT r1 #3."""
+    from spec_viterbi_tpu.parallel import decode_batch_dp_fused
+
+    hmm, _ = production_model
+    fd = _fused_for(hmm)
+    mesh = make_mesh(data=d)
+    rng = np.random.default_rng(29)
+    seqs = [rng.integers(0, hmm.emit_num, size=n).astype(np.int32) for n in (4, 33, 17)]
+    got = decode_batch_dp_fused(fd, seqs, mesh)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
+def test_fused_dp_paths_match_oracle(production_model):
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+    from spec_viterbi_tpu.parallel import decode_path_batch_dp_fused
+
+    hmm, _ = production_model
+    fd = _fused_for(hmm)
+    mesh = make_mesh(data=2)
+    rng = np.random.default_rng(31)
+    seqs = [rng.integers(0, hmm.emit_num, size=n).astype(np.int32) for n in (9, 26)]
+    got = decode_path_batch_dp_fused(fd, seqs, mesh)
+    for (scores, path), s in zip(got, seqs):
+        oscores, opath = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(scores, oscores), len(s)
+        assert np.array_equal(path, opath), len(s)
