@@ -28,18 +28,6 @@ from spec_viterbi_tpu.ops.structured import StructuredOperator
 INF = np.float32(np.inf)
 
 
-def _split(comps: list, n: int):
-    """Component list → (offsets, diag_vals [D,N], u [R,N], w [R,N])."""
-    offsets = [c.offset for c in comps if isinstance(c, sc.Diag)]
-    dv = np.stack(
-        [c.vals for c in comps if isinstance(c, sc.Diag)]
-    ) if offsets else np.zeros((0, n), np.float32)
-    r1 = [c for c in comps if isinstance(c, sc.Rank1)]
-    u = np.stack([c.u for c in r1]) if r1 else np.zeros((0, n), np.float32)
-    w = np.stack([c.w for c in r1]) if r1 else np.zeros((0, n), np.float32)
-    return offsets, dv, u, w
-
-
 class StructuredSpecializedViterbi:
     """Re-specializable level-L decoder over structured tuple operators.
 
@@ -64,11 +52,17 @@ class StructuredSpecializedViterbi:
       than ±1.0.
     """
 
-    def __init__(self, level: int = 1, use_pallas: bool | None = None):
+    def __init__(
+        self,
+        level: int = 1,
+        use_pallas: bool | None = None,
+        cache: "OperatorCache | None" = None,
+    ):
         if level < 1:
             raise ValueError("level must be >= 1 (Viterbi_spec_impl.h:20-23)")
         self.level = level
         self._explicit_pallas = use_pallas
+        self.cache = cache
         self._specialized = False
 
     def get_level(self) -> int:
@@ -78,11 +72,12 @@ class StructuredSpecializedViterbi:
     def spec_memory_bytes(states_num: int, emit_num: int, level: int) -> int:
         """Upper-bound estimate: E^L tuples × component vectors × N floats.
 
-        Composed rank-1 counts roughly double per level (measured on the
-        Pfam corpus: 7/11/21 stored vectors per tuple at levels 1-3), so
-        the per-tuple vector estimate grows with level.
+        The slot-structured batched composition grows the rank-1 slot
+        count LINEARLY per level (R' = R_b + R_a·D_a; measured on the Pfam
+        corpus: 7/13/19 stored vectors per tuple at levels 1-3), so the
+        per-tuple estimate is ``6·level + 2`` vectors.
         """
-        vectors = 6 * 2 ** (level - 1) + 2
+        vectors = 6 * level + 2
         return (emit_num**level) * vectors * pad_to_lane(states_num) * 4
 
     def spec_with(self, hmm: HMM) -> None:
@@ -96,67 +91,47 @@ class StructuredSpecializedViterbi:
         self.emit_num = e = hmm.emit_num
 
         sop = StructuredOperator.from_hmm(hmm, pad_to=n)
-        base = sc.from_structured(sop)
         em = hmm.emission_matrix(pad_to=n)
         pi = hmm.start_vector(pad_to=n)
 
-        # per-symbol level-1 operators: emission folds into the dst side
-        def sym_op(o):
-            out = []
-            for c in base:
-                if isinstance(c, sc.Diag):
-                    out.append(sc.Diag(c.offset, c.vals + em[o]))
-                else:
-                    out.append(sc.Rank1(c.u + em[o], c.w))
-            return [c for c in out if sc._alive(c)]
-
-        level1 = [sym_op(o) for o in range(e)]
-
-        # compose tuples level by level; tuple index is the radix-e encoding
-        # with the earliest symbol least significant (specializer.py parity)
-        tuples = level1
-        for _ in range(self.level - 1):
-            nxt = []
-            for o in range(e):  # new symbol = most significant digit
-                for prev in tuples:
-                    nxt.append(sc.compose(level1[o], prev))
-            tuples = nxt
-
-        # pad all tuples to a common component schema
-        all_offsets = sorted({d for t in tuples for d in _split(t, n)[0]})
-        max_r1 = max(
-            (sum(isinstance(c, sc.Rank1) for c in t) for t in tuples), default=0
-        )
-        p = len(tuples)
-        dv = np.full((p, len(all_offsets), n), INF, np.float32)
-        uu = np.full((p, max_r1, n), INF, np.float32)
-        ww = np.full((p, max_r1, n), INF, np.float32)
-        for ti, t in enumerate(tuples):
-            offs, tdv, tu, tw = _split(t, n)
-            for k, d in enumerate(offs):
-                dv[ti, all_offsets.index(d)] = tdv[k]
-            uu[ti, : tu.shape[0]] = tu
-            ww[ti, : tw.shape[0]] = tw
-
-        # level-1 schema for the tail loop
-        l1_offsets = sorted({d for t in level1 for d in _split(t, n)[0]})
-        l1_r1 = max(sum(isinstance(c, sc.Rank1) for c in t) for t in level1)
-        dv1 = np.full((e, len(l1_offsets), n), INF, np.float32)
-        uu1 = np.full((e, l1_r1, n), INF, np.float32)
-        ww1 = np.full((e, l1_r1, n), INF, np.float32)
-        for o, t in enumerate(level1):
-            offs, tdv, tu, tw = _split(t, n)
-            for k, d in enumerate(offs):
-                dv1[o, l1_offsets.index(d)] = tdv[k]
-            uu1[o, : tu.shape[0]] = tu
-            ww1[o, : tw.shape[0]] = tw
+        cached = None
+        if self.cache is not None:
+            cached = self.cache.load(hmm.fingerprint(), self.level, n)
+        if cached is not None:
+            l1_offsets = tuple(int(d) for d in cached["l1_offsets"])
+            all_offsets = tuple(int(d) for d in cached["tuple_offsets"])
+            dv1, uu1, ww1 = cached["dv1"], cached["uu1"], cached["ww1"]
+            dv, uu, ww = cached["dv"], cached["uu"], cached["ww"]
+        else:
+            # batched array-form composition (structured_compose docstring):
+            # level-L stacks built in whole-array NumPy ops — at level 3 on
+            # the 2405-state corpus this replaces ~616k per-pair calls
+            (l1_offsets, dv1, uu1, ww1), (all_offsets, dv, uu, ww) = (
+                sc.batched_levels(sop, em, self.level)
+            )
+            if self.cache is not None:
+                # background publish — the write must not double cold prep
+                self._store_thread = self.cache.store_async(
+                    hmm.fingerprint(),
+                    self.level,
+                    n,
+                    {
+                        "l1_offsets": np.asarray(l1_offsets, np.int64),
+                        "tuple_offsets": np.asarray(all_offsets, np.int64),
+                        "dv1": dv1, "uu1": uu1, "ww1": ww1,
+                        "dv": dv, "uu": uu, "ww": ww,
+                    },
+                )
 
         self.tuple_offsets = tuple(all_offsets)
         self.l1_offsets = tuple(l1_offsets)
         self.num_components = int(dv.shape[1] + uu.shape[1])
-        self.arrays = tuple(
-            jnp.asarray(a) for a in (dv, uu, ww, dv1, uu1, ww1)
-        )
+        # device upload is LAZY: cache loads are memory-mapped and the
+        # fused factored path never reads the level-L stacks at all, so a
+        # warm spec_with costs milliseconds; the composed decode paths
+        # fault/upload the arrays on first use.
+        self._arrays_host = (dv, uu, ww, dv1, uu1, ww1)
+        self._arrays_dev = None
         self.start_ops = jnp.asarray(em + pi[None, :])  # [E, N]
         self._build_decode()
 
@@ -175,13 +150,19 @@ class StructuredSpecializedViterbi:
                 )
         self._specialized = True
 
+    @property
+    def arrays(self):
+        """Device copies of (dv, uu, ww, dv1, uu1, ww1), uploaded once on
+        first use (lazy so mmap-cached loads stay cheap)."""
+        if self._arrays_dev is None:
+            self._arrays_dev = tuple(jnp.asarray(a) for a in self._arrays_host)
+        return self._arrays_dev
+
     def _build_decode(self):
         tuple_offsets = self.tuple_offsets
         l1_offsets = self.l1_offsets
         level = self.level
         emit_num = self.emit_num
-        dv, uu, ww, dv1, uu1, ww1 = self.arrays
-        start_ops = self.start_ops
 
         def apply(offsets, dvals, u, w, v):
             # dvals [D, N], u/w [R, N], v [N]
@@ -195,13 +176,14 @@ class StructuredSpecializedViterbi:
 
         from spec_viterbi_tpu.models.specializer import make_chunked_decode
 
+        operands_fn = lambda: (self.start_ops, *self.arrays)  # noqa: E731
         self._decode = make_chunked_decode(
             level,
             emit_num,
             start_fn=lambda o, ar: ar[0][o],
             chunk_fn=lambda v, i, ar: apply(tuple_offsets, ar[1][i], ar[2][i], ar[3][i], v),
             tail_fn=lambda v, o, ar: apply(l1_offsets, ar[4][o], ar[5][o], ar[6][o], v),
-            operands=(start_ops, dv, uu, ww, dv1, uu1, ww1),
+            operands_fn=operands_fn,
         )
 
         def apply_batch(offsets, dvb, uub, wwb, v):
@@ -254,9 +236,8 @@ class StructuredSpecializedViterbi:
                 )
             return v.T
 
-        operands = (start_ops, dv, uu, ww, dv1, uu1, ww1)
         self._decode_batch_uniform = lambda seqs_t: decode_batch_uniform(
-            seqs_t, operands
+            seqs_t, operands_fn()
         )
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:

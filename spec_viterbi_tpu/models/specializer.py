@@ -67,7 +67,9 @@ def _add_level(ops_t, t_prev, use_pallas: bool):
     return t_next.reshape(e * p, *t_prev.shape[1:])
 
 
-def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn, operands):
+def make_chunked_decode(
+    level: int, emit_num: int, start_fn, chunk_fn, tail_fn, operands=None, operands_fn=None
+):
     """Shared chunked-decode skeleton (GraphBLAS_spec_impl.cpp:50-89).
 
     ``seq[0]`` consumes the start operator; the remaining T−1 symbols go
@@ -79,7 +81,8 @@ def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn, 
 
     ``operands`` (a pytree of device arrays) is threaded through as a jit
     ARGUMENT — closing over it would bake hundreds of MB of operator data
-    into the compiled program as constants.
+    into the compiled program as constants. ``operands_fn`` defers the
+    operand fetch to call time (lazy cache→device upload).
     """
 
     @jax.jit
@@ -106,7 +109,9 @@ def make_chunked_decode(level: int, emit_num: int, start_fn, chunk_fn, tail_fn, 
             )
         return v
 
-    return lambda seq: decode(seq, operands)
+    if operands_fn is None:
+        return lambda seq: decode(seq, operands)
+    return lambda seq: decode(seq, operands_fn())
 
 
 class SpecializedViterbi:

@@ -22,7 +22,10 @@ def test_operator_cache_roundtrip(tmp_path):
     spec.spec_with(hmm)
     want = spec.run_spec(seq)
     files = os.listdir(tmp_path)
-    assert len(files) == 1 and files[0].endswith(".npz")
+    # v2 format: one directory of .npy files per cache entry (mmap loads)
+    assert len(files) == 1 and os.path.isdir(os.path.join(tmp_path, files[0]))
+    entry = os.path.join(tmp_path, files[0])
+    assert all(f.endswith(".npy") for f in os.listdir(entry))
 
     # second specialization loads from disk and produces identical results
     spec2 = SpecializedViterbi(level=2, cache=cache)
@@ -62,8 +65,9 @@ def test_operator_cache_corrupt_entry_rebuilds(tmp_path):
     seq = read_emit_seq(os.path.join(TEST_SEQS, "1_test_seq.ess"))[0]
     spec = SpecializedViterbi(level=2, cache=cache)
     spec.spec_with(hmm)
-    path = os.path.join(str(tmp_path), os.listdir(tmp_path)[0])
-    with open(path, "wb") as f:
+    entry = os.path.join(str(tmp_path), os.listdir(tmp_path)[0])
+    victim = os.path.join(entry, sorted(os.listdir(entry))[0])
+    with open(victim, "wb") as f:
         f.write(b"garbage")
     spec2 = SpecializedViterbi(level=2, cache=cache)
     spec2.spec_with(hmm)  # silently rebuilds

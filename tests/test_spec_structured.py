@@ -43,6 +43,65 @@ def test_composition_algebra_matches_dense_products():
     np.testing.assert_allclose(mask(got), mask(ref), atol=1e-4)
 
 
+def test_batched_compose_matches_pairwise_algebra():
+    """The array-form level step must produce the same dense operator as
+    the pairwise compose() path for every symbol pair."""
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))  # has residual
+    n = hmm.padded_states
+    sop = StructuredOperator.from_hmm(hmm, pad_to=n)
+    em = hmm.emission_matrix(pad_to=n)
+    e = hmm.emit_num
+
+    l1, l2 = sc.batched_levels(sop, em, 2)
+    offsets, dv, uu, ww = l2
+    mask = lambda a: np.where(np.isinf(a), -1.0, a)
+
+    base = sc.from_structured(sop)
+
+    def sym_op(o):
+        return [
+            sc.Diag(c.offset, c.vals + em[o])
+            if isinstance(c, sc.Diag)
+            else sc.Rank1(c.u + em[o], c.w)
+            for c in base
+        ]
+
+    for o2 in range(e):
+        for o1 in range(e):
+            want = sc.to_dense(sc.compose(sym_op(o2), sym_op(o1)), n)
+            ti = o1 + o2 * e  # earliest symbol least significant
+            comps = [
+                sc.Diag(d, dv[ti, k]) for k, d in enumerate(offsets)
+            ] + [
+                sc.Rank1(uu[ti, r], ww[ti, r]) for r in range(uu.shape[1])
+            ]
+            got = sc.to_dense(comps, n)
+            np.testing.assert_allclose(
+                mask(got), mask(want), atol=1e-4, err_msg=f"{o2},{o1}"
+            )
+
+
+def test_structured_spec_operator_cache_roundtrip(tmp_path):
+    from spec_viterbi_tpu.utils.cache import OperatorCache
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    cache = OperatorCache(cache_dir=str(tmp_path))
+    rng = np.random.default_rng(41)
+    seq = rng.integers(0, hmm.emit_num, size=33).astype(np.int32)
+
+    cold = StructuredSpecializedViterbi(level=2, cache=cache)
+    cold.spec_with(hmm)
+    want = cold.run_spec(seq)
+    cold._store_thread.join()  # background publish
+    assert os.listdir(tmp_path)  # something persisted
+
+    warm = StructuredSpecializedViterbi(level=2, cache=cache)
+    warm.spec_with(hmm)
+    assert warm.tuple_offsets == cold.tuple_offsets
+    assert almost_equal_vec(warm.run_spec(seq), want)
+    assert almost_equal_vec(want, viterbi_scores_oracle(hmm, seq))
+
+
 def test_component_growth_is_small():
     hmm = read_hmm(os.path.join(CHMM_DIR, "500.chmm"))
     spec = StructuredSpecializedViterbi(level=2)
