@@ -14,7 +14,8 @@ Shape preserved from the reference:
   ``<impl>_spec_<L>`` columns (``bench_Viterbi_spec.h:33-47,67-84``).
 
 The reference's "backend" axis (GraphBLAS/CUSP/cuASR) maps to this
-framework's execution modes (dense / structured, plus pallas on TPU).
+framework's execution modes (dense / structured; on TPU the structured
+mode rides the fused Pallas kernel).
 """
 
 from __future__ import annotations

@@ -17,7 +17,6 @@ the many-sequence workloads (``emit_50_3500_20.ess``).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -76,24 +75,24 @@ class DeviceHMM:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _decode_scores(a_t, pi, em, seq, use_pallas: bool):
+@jax.jit
+def _decode_scores(a_t, pi, em, seq):
     v0 = em[seq[0]] + pi
 
     def step(v, o):
-        u = dispatch.step_mv(a_t, v, use_pallas)
+        u = dispatch.step_mv(a_t, v)
         return em[o] + u, None
 
     v, _ = jax.lax.scan(step, v0, seq[1:])
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _decode_scores_and_path(a_t, pi, em, seq, use_pallas: bool):
+@jax.jit
+def _decode_scores_and_path(a_t, pi, em, seq):
     v0 = em[seq[0]] + pi
 
     def step(v, o):
-        u, idx = dispatch.step_mv_argmin(a_t, v, use_pallas)
+        u, idx = dispatch.step_mv_argmin(a_t, v)
         return em[o] + u, idx
 
     v, ptrs = jax.lax.scan(step, v0, seq[1:])  # ptrs: [T-1, Np]
@@ -109,8 +108,8 @@ def _decode_scores_and_path(a_t, pi, em, seq, use_pallas: bool):
     return v, path
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
+@jax.jit
+def _decode_scores_batch(a, pi, em, seqs, lengths):
     """seqs: [B, Tmax] int32 (padded), lengths: [B]. Returns [B, Np].
 
     The carry is kept state-major ([Np, B]) so each step is one TN tropical
@@ -122,7 +121,7 @@ def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
 
     def step(carry, xs):
         o_t, t = xs
-        u_t = dispatch.batch_step_t(a, carry, use_pallas)
+        u_t = dispatch.batch_step_t(a, carry)
         v_new = em_t[:, o_t] + u_t
         keep = (t < lengths)[None, :]
         return jnp.where(keep, v_new, carry), None
@@ -135,20 +134,23 @@ def _decode_scores_batch(a, pi, em, seqs, lengths, use_pallas: bool):
 class ViterbiDecoder:
     """Non-specialized decoder; the TPU counterpart of the reference's
     ``*_impl`` classes. Where the reference ships three backends
-    (GraphBLAS/CUSP/cuASR) this class exposes three execution modes that
-    cross-validate the same way:
+    (GraphBLAS/CUSP/cuASR) this class exposes independent execution paths
+    that cross-validate the same way:
 
-    - ``"dense"``       — jnp/XLA dense tropical algebra (works anywhere),
-    - ``"pallas"``      — dense Pallas TPU kernels,
+    - ``"dense"``       — jnp/XLA dense tropical algebra (works anywhere;
+      the cuASR-analog backend — XLA's in-scan lowering runs the dense
+      step at the VPU compute roofline, see ``ops/dispatch.py``),
     - ``"structured"``  — diagonal/row/col-decomposed operator
       (:mod:`spec_viterbi_tpu.ops.structured`), O((D+R+C)·N) per step
-      instead of O(N²) — the TPU answer to the reference's sparse backends.
+      instead of O(N²) — the TPU answer to the reference's sparse
+      backends; on TPU, fused-eligible operators additionally get the
+      whole-sequence Pallas kernel for batched work.
 
     ``mode="auto"`` picks structured when the decomposition is effective
-    (cost ratio < 1/8 of dense), else pallas on TPU / dense elsewhere.
+    (cost ratio < 1/8 of dense), else dense.
     """
 
-    MODES = ("auto", "dense", "pallas", "structured")
+    MODES = ("auto", "dense", "structured")
 
     def __init__(
         self,
@@ -160,12 +162,6 @@ class ViterbiDecoder:
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
         self.hmm = hmm
-        if use_pallas is not None and mode == "auto":
-            # explicit use_pallas request overrides auto mode (back-compat)
-            mode = "pallas" if use_pallas else "dense"
-        if use_pallas and not pad:
-            # the dense Pallas kernels require 128-aligned operands
-            raise ValueError("use_pallas=True requires pad=True")
 
         padded = pad_to_lane(hmm.states_num) if pad else hmm.states_num
         self._sop = None
@@ -177,12 +173,8 @@ class ViterbiDecoder:
                 self._sop_arrs = sop.device_arrays()
                 mode = "structured"
             else:
-                # dense fallback is XLA: the measured dense-Pallas TN kernel
-                # is ~10× slower than XLA's fused dense path (BASELINE.md),
-                # so auto never selects it — mode="pallas" is explicit-only.
                 mode = "dense"
         self.mode = mode
-        self.use_pallas = mode == "pallas"
         # structured mode never reads the dense [Np, Np] operators — skip
         # materializing/uploading 2×23 MB per decoder on the big models
         self.dev = DeviceHMM.from_hmm(hmm, pad=pad, dense=mode != "structured")
@@ -191,7 +183,8 @@ class ViterbiDecoder:
             self._build_structured_fns()
             # On TPU, regular-enough operators get the fused whole-sequence
             # Pallas kernel for batched scoring — unless the caller
-            # explicitly disabled Pallas.
+            # explicitly disabled Pallas (``use_pallas=False`` pins the
+            # XLA structured path, the independent cross-check).
             if (
                 use_pallas is not False
                 and jax.default_backend() == "tpu"
@@ -274,9 +267,7 @@ class ViterbiDecoder:
         if self.mode == "structured":
             v = self._s_decode(self.dev.emissions, self.dev.pi, seq)
         else:
-            v = _decode_scores(
-                self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
-            )
+            v = _decode_scores(self.dev.a_t, self.dev.pi, self.dev.emissions, seq)
         return np.asarray(v[: self.dev.states_num])
 
     def decode_path(self, seq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -286,7 +277,7 @@ class ViterbiDecoder:
             v, path = self._s_decode_path(self.dev.emissions, self.dev.pi, seq)
         else:
             v, path = _decode_scores_and_path(
-                self.dev.a_t, self.dev.pi, self.dev.emissions, seq, self.use_pallas
+                self.dev.a_t, self.dev.pi, self.dev.emissions, seq
             )
         return np.asarray(v[: self.dev.states_num]), np.asarray(path)
 
@@ -318,10 +309,7 @@ class ViterbiDecoder:
         if self._fused is not None:
             return self._fused.prepare(seqs)
         seqs = [validate_obs_seq(s, self.hmm.emit_num) for s in seqs]
-        # Pallas TN kernel wants the batch (lane) dim 128-aligned; the jnp
-        # paths only need the f32 sublane.
-        lane = 128 if self.use_pallas else SUBLANE
-        batch, lengths = pad_batch(seqs, lane)
+        batch, lengths = pad_batch(seqs, SUBLANE)
         if self.mode == "structured":
             return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
         return jnp.asarray(batch), jnp.asarray(lengths)
@@ -336,8 +324,7 @@ class ViterbiDecoder:
                 self.dev.emissions.T, self.dev.pi, seqs_d, lengths_d
             )
         return _decode_scores_batch(
-            self.dev.a, self.dev.pi, self.dev.emissions, seqs_d, lengths_d,
-            self.use_pallas,
+            self.dev.a, self.dev.pi, self.dev.emissions, seqs_d, lengths_d
         )
 
     def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:

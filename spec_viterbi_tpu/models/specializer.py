@@ -46,8 +46,8 @@ def _build_level1(a_t, pi, em):
     return start_ops, ops
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _add_level(ops_t, t_prev, use_pallas: bool):
+@jax.jit
+def _add_level(ops_t, t_prev):
     """ops ⊗ t_prev: [E, N, N] ⊗ [P, N, N] → [E·P, N, N].
 
     ``ops_t`` is the level-1 stack with each operator transposed (TN matmul
@@ -59,9 +59,7 @@ def _add_level(ops_t, t_prev, use_pallas: bool):
     p = t_prev.shape[0]
 
     def per_symbol(op_i_t):
-        return jax.vmap(lambda tp: dispatch.matmul_tn(op_i_t, tp, use_pallas))(
-            t_prev
-        )
+        return jax.vmap(lambda tp: dispatch.matmul_tn(op_i_t, tp))(t_prev)
 
     t_next = jax.lax.map(per_symbol, ops_t)  # [E, P, N, N]
     return t_next.reshape(e * p, *t_prev.shape[1:])
@@ -137,10 +135,10 @@ class SpecializedViterbi:
         self.level = level
         self.pad = pad
         self.cache = cache
-        self._explicit_pallas = use_pallas  # None = backend default
-        self.use_pallas = (
-            dispatch.default_use_pallas() if use_pallas is None else use_pallas
-        )
+        # use_pallas gates only the fused-kernel delegate (False pins the
+        # XLA paths — the cross-validating independent implementation);
+        # dense tropical algebra is always XLA (ops/dispatch.py rationale)
+        self._explicit_pallas = use_pallas
         self._specialized = False
         self.start_ops = None  # [E, Np]
         self.ops = None  # [E, Np, Np]
@@ -218,7 +216,7 @@ class SpecializedViterbi:
             if self.level > 1:
                 ops_t = jnp.transpose(ops, (0, 2, 1))
                 for _ in range(self.level - 1):
-                    tuple_ops = _add_level(ops_t, tuple_ops, self.use_pallas)
+                    tuple_ops = _add_level(ops_t, tuple_ops)
             if self.cache is not None:
                 arrays = {
                     "start_ops": np.asarray(start_ops),
@@ -231,13 +229,12 @@ class SpecializedViterbi:
         self.start_ops = start_ops
         self.ops = ops
         self.tuple_ops = tuple_ops
-        use_pallas = self.use_pallas
         self._decode = make_chunked_decode(
             self.level,
             self.emit_num,
             start_fn=lambda o, ops3: ops3[0][o],
-            chunk_fn=lambda v, i, ops3: dispatch.step_mv(ops3[2][i], v, use_pallas),
-            tail_fn=lambda v, o, ops3: dispatch.step_mv(ops3[1][o], v, use_pallas),
+            chunk_fn=lambda v, i, ops3: dispatch.step_mv(ops3[2][i], v),
+            tail_fn=lambda v, o, ops3: dispatch.step_mv(ops3[1][o], v),
             operands=(start_ops, ops, tuple_ops),
         )
         self._specialized = True

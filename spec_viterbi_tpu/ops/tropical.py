@@ -8,9 +8,10 @@ reduce=min, ``CUSP_helper.cu:9-15``; cuASR ``Srgemm<minimum, plus>``,
 broadcast+reduce expressions. The semiring zero is ``+inf``: ``inf + x = inf``
 and ``min(inf, x) = x`` hold in IEEE float32, so no masking is needed.
 
-These are the *semantics-reference* implementations; the performance path for
-large operands is in :mod:`spec_viterbi_tpu.ops.pallas_kernels`, selected by
-:mod:`spec_viterbi_tpu.ops.dispatch`.
+These are also the *performance* implementations for dense operands: inside
+the decode scan XLA pre-layouts the loop-invariant operator and runs the
+step at the VPU compute roofline (see :mod:`spec_viterbi_tpu.ops.dispatch`
+for why the dense Pallas SRGEMM was removed).
 
 Orientation conventions (all row-major):
 

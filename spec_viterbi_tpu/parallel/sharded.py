@@ -44,8 +44,8 @@ from spec_viterbi_tpu.utils.batching import pad_batch
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",), donate_argnums=())
-def _dp_decode(a, pi, em_t, seqs_t, lengths, use_pallas: bool):
+@jax.jit
+def _dp_decode(a, pi, em_t, seqs_t, lengths):
     """seqs_t: [Tmax, B] time-major (already batch-sharded). Returns [B, Np].
 
     Identical math to the single-device batched decoder; the batch (lane)
@@ -56,7 +56,7 @@ def _dp_decode(a, pi, em_t, seqs_t, lengths, use_pallas: bool):
 
     def step(carry, xs):
         o_t, t = xs
-        u_t = dispatch.batch_step_t(a, carry, use_pallas)
+        u_t = dispatch.batch_step_t(a, carry)
         v_new = em_t[:, o_t] + u_t
         keep = (t < lengths)[None, :]
         return jnp.where(keep, v_new, carry), None
@@ -70,7 +70,6 @@ def decode_batch_dp(
     dev: DeviceHMM,
     seqs: list[np.ndarray],
     mesh: Mesh,
-    use_pallas: bool = False,
 ) -> list[np.ndarray]:
     """Data-parallel batched decode: sequences sharded over the ``data`` axis.
 
@@ -81,16 +80,7 @@ def decode_batch_dp(
     if not seqs:
         return []
     d = mesh.shape[DATA_AXIS]
-    if use_pallas and d > 1:
-        # a pallas_call under plain GSPMD jit has no partitioning rule;
-        # the shard_map-based paths are the Pallas multi-chip answer
-        raise ValueError(
-            "decode_batch_dp cannot shard Pallas kernels; use "
-            "decode_batch_dp_fused (fused kernel), decode_batch_dp_tp "
-            "(shard_map), or use_pallas=False"
-        )
-    lane = 128 if use_pallas else 8
-    batch, lengths = pad_batch(seqs, d * lane)
+    batch, lengths = pad_batch(seqs, d * 8)
 
     batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # [Tmax, B]
     len_sh = NamedSharding(mesh, P(DATA_AXIS))
@@ -102,7 +92,7 @@ def decode_batch_dp(
     pi = jax.device_put(dev.pi, repl)
     em_t = jax.device_put(dev.emissions.T, repl)
 
-    v = np.asarray(_dp_decode(a, pi, em_t, seqs_t, lengths_d, use_pallas))
+    v = np.asarray(_dp_decode(a, pi, em_t, seqs_t, lengths_d))
     return [v[i, : dev.states_num] for i in range(len(seqs))]
 
 
@@ -201,18 +191,18 @@ def decode_path_batch_dp_fused(
 # --------------------------------------------------------------------------
 
 
-def _tp_step_body(a_t_block, v_block, use_pallas: bool):
+def _tp_step_body(a_t_block, v_block):
     """One TP step: gather the carry, produce this device's output block.
 
     a_t_block: [Nb, Np] — the row block of Aᵀ for this device's output
     states. The all-gather moves Np·4 bytes per step over ICI.
     """
     v_full = jax.lax.all_gather(v_block, STATE_AXIS, tiled=True)  # [Np]
-    return dispatch.step_mv(a_t_block, v_full, use_pallas)  # [Nb]
+    return dispatch.step_mv(a_t_block, v_full)  # [Nb]
 
 
 @functools.lru_cache(maxsize=None)
-def make_tp_decode(mesh: Mesh, use_pallas: bool = False):
+def make_tp_decode(mesh: Mesh):
     """Build a jitted state-sharded (TP) single-sequence decoder.
 
     Partitioning: Aᵀ row-blocked over ``state`` (each device owns the rows
@@ -235,7 +225,7 @@ def make_tp_decode(mesh: Mesh, use_pallas: bool = False):
         v = em_block[seq[0]] + pi_block
 
         def step(v_block, o):
-            u = _tp_step_body(a_t_block, v_block, use_pallas)
+            u = _tp_step_body(a_t_block, v_block)
             return em_block[o] + u, None
 
         v, _ = jax.lax.scan(step, v, seq[1:])
@@ -248,17 +238,12 @@ def decode_tp(
     dev: DeviceHMM,
     seq: np.ndarray,
     mesh: Mesh,
-    use_pallas: bool = False,
 ) -> np.ndarray:
     """State-sharded decode of one sequence; returns the score vector."""
     s = mesh.shape[STATE_AXIS]
     if dev.padded % s != 0:
         raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
-    if use_pallas and (dev.padded // s) % 128 != 0:
-        raise ValueError(
-            f"Pallas TP needs 128-aligned per-shard blocks; got {dev.padded // s}"
-        )
-    fn = make_tp_decode(mesh, use_pallas)
+    fn = make_tp_decode(mesh)
     seq_d = jnp.asarray(np.asarray(seq, dtype=np.int32))
     v = fn(dev.a_t, dev.pi, dev.emissions, seq_d)
     return np.asarray(v)[: dev.states_num]
@@ -270,7 +255,7 @@ def decode_tp(
 
 
 @functools.lru_cache(maxsize=None)
-def make_dp_tp_decode(mesh: Mesh, use_pallas: bool = False):
+def make_dp_tp_decode(mesh: Mesh):
     """Batched decode with the batch on ``data`` and states on ``state``.
 
     Layouts (TN form, state-major carry):
@@ -298,7 +283,7 @@ def make_dp_tp_decode(mesh: Mesh, use_pallas: bool = False):
         def step(carry, xs):
             o_t, t = xs
             v_full = jax.lax.all_gather(carry, STATE_AXIS, tiled=True)  # [Np, Bd]
-            u_t = dispatch.matmul_tn(a_block, v_full, use_pallas)  # [Nb, Bd]
+            u_t = dispatch.matmul_tn(a_block, v_full)  # [Nb, Bd]
             v_new = em_t_block[:, o_t] + u_t
             keep = (t < lengths)[None, :]
             return jnp.where(keep, v_new, carry), None
@@ -314,7 +299,6 @@ def decode_batch_dp_tp(
     dev: DeviceHMM,
     seqs: list[np.ndarray],
     mesh: Mesh,
-    use_pallas: bool = False,
 ) -> list[np.ndarray]:
     """Batched decode sharded over ``data`` × ``state``."""
     if not seqs:
@@ -323,14 +307,9 @@ def decode_batch_dp_tp(
     s = mesh.shape[STATE_AXIS]
     if dev.padded % s != 0:
         raise ValueError(f"padded states {dev.padded} not divisible by state axis {s}")
-    if use_pallas and (dev.padded // s) % 128 != 0:
-        raise ValueError(
-            f"Pallas TP needs 128-aligned per-shard blocks; got {dev.padded // s}"
-        )
-    lane = 128 if use_pallas else 8
-    batch, lengths = pad_batch(seqs, d * lane)
+    batch, lengths = pad_batch(seqs, d * 8)
 
-    fn = make_dp_tp_decode(mesh, use_pallas)
+    fn = make_dp_tp_decode(mesh)
     v = np.asarray(
         fn(
             dev.a,
@@ -356,7 +335,7 @@ def _identity_op(n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
+def make_time_parallel_decode(mesh: Mesh):
     """Build a jitted time-parallel decoder.
 
     Each ``time``-axis device owns a contiguous observation block and
@@ -397,13 +376,13 @@ def make_time_parallel_decode(mesh: Mesh, use_pallas: bool = False):
             # new step applies after the accumulated block: M_o ⊗ m_acc.
             # TN form: C[i,j] = min_k (M_o)ᵀ[k,i] + m_acc[k,j]; ops arrive
             # pre-transposed so the scan body does no per-step transpose
-            return dispatch.matmul_tn(ops_t[o], m_acc, use_pallas), None
+            return dispatch.matmul_tn(ops_t[o], m_acc), None
 
         m_block, _ = jax.lax.scan(compose, eye, obs_block)
         blocks = jax.lax.all_gather(m_block, TIME_AXIS)  # [S, Np, Np]
 
         def fold(v, m):
-            return dispatch.step_mv(m, v, use_pallas), None
+            return dispatch.step_mv(m, v), None
 
         # `blocks` is typed varying post-all_gather; match the carry.
         v0 = jax.lax.pcast(v0, (TIME_AXIS,), to="varying")
@@ -419,7 +398,6 @@ def decode_time_parallel(
     hmm: HMM,
     seq: np.ndarray,
     mesh: Mesh,
-    use_pallas: bool = False,
 ) -> np.ndarray:
     """Time-parallel decode of a single long sequence over the ``time`` axis.
 
@@ -450,6 +428,6 @@ def decode_time_parallel(
     obs = np.concatenate([rest, np.full(pad, e, dtype=np.int32)])
 
     v0 = em[seq[0]] + pi
-    fn = make_time_parallel_decode(mesh, use_pallas)
+    fn = make_time_parallel_decode(mesh)
     v = np.asarray(fn(jnp.asarray(ops_t), jnp.asarray(v0), jnp.asarray(obs)))
     return v[: hmm.states_num]

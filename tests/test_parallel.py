@@ -87,23 +87,6 @@ def test_time_parallel_fixture_unreachable_states(small_model):
         assert almost_equal_vec(got, want)
 
 
-def test_pallas_tp_alignment_guard(production_model):
-    """Per-shard blocks must be 128-aligned on the Pallas path."""
-    hmm, seqs = production_model  # padded 128; 2 shards → block 64
-    mesh = make_mesh(state=2)
-    dev = DeviceHMM.from_hmm(hmm)
-    with pytest.raises(ValueError, match="128-aligned"):
-        decode_tp(dev, seqs[0], mesh, use_pallas=True)
-
-
-def test_dp_rejects_pallas_on_multi_device_mesh(production_model):
-    hmm, seqs = production_model
-    mesh = make_mesh(data=8)
-    dev = DeviceHMM.from_hmm(hmm)
-    with pytest.raises(ValueError, match="shard_map"):
-        decode_batch_dp(dev, seqs, mesh, use_pallas=True)
-
-
 def test_empty_sequence_rejected(production_model):
     hmm, _ = production_model
     from spec_viterbi_tpu.models.decoder import ViterbiDecoder

@@ -173,12 +173,13 @@ def test_spec_level2_batch_fallback():
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
 
 
-def test_mode_validation_and_pallas_pad_guard():
+def test_mode_validation():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     with pytest.raises(ValueError, match="mode must be one of"):
         ViterbiDecoder(hmm, mode="structure")
-    with pytest.raises(ValueError, match="requires pad=True"):
-        ViterbiDecoder(hmm, use_pallas=True, pad=False)
+    # the removed dense-Pallas backend is not silently accepted
+    with pytest.raises(ValueError, match="mode must be one of"):
+        ViterbiDecoder(hmm, mode="pallas")
 
 
 def test_structured_mode_skips_dense_uploads():
