@@ -296,6 +296,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # every shape compiles once per machine, ever (utils/compile_cache.py)
+    from spec_viterbi_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

@@ -41,8 +41,26 @@ from spec_viterbi_tpu.ops import dispatch
 
 @jax.jit
 def _build_level1(a_t, pi, em):
+    """Level-1 stack with a trailing IDENTITY operator at index ``E``.
+
+    The identity slot (tropical identity: 0 diagonal, +inf elsewhere) is a
+    padding symbol: applying it leaves the carry unchanged, so ragged
+    sequences can be padded to a common length and decoded through the
+    chunked path with exact results and ONE compiled shape per dataset
+    (instead of one per distinct sequence length). The tuple radix is
+    therefore ``E+1``.
+    """
     start_ops = em + pi[None, :]  # [E, Np]
-    ops = em[:, :, None] + a_t[None, :, :]  # [E, Np, Np]
+    n = a_t.shape[0]
+    eye = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
+        jnp.zeros((n, n), a_t.dtype),
+        jnp.full((n, n), jnp.inf, a_t.dtype),
+    )
+    ops = jnp.concatenate(
+        [em[:, :, None] + a_t[None, :, :], eye[None]], axis=0
+    )  # [E+1, Np, Np]
     return start_ops, ops
 
 
@@ -117,8 +135,9 @@ class SpecializedViterbi:
 
     ``level`` is the number of observation handlers combined into one
     operator (``Viterbi_spec_impl.h:20-23``). Memory for tuple operators is
-    ``emit_num^level · Np² · 4`` bytes — the same wall that limits the
-    reference's GPU backends to level 1 on the 20-symbol corpus
+    ``(emit_num+1)^level · Np² · 4`` bytes (the +1 is the identity padding
+    symbol, ``_build_level1``) — the same wall that limits the reference's
+    GPU backends to level 1 on the 20-symbol corpus
     (``bench_Viterbi_spec.h:37-47``); :meth:`spec_memory_bytes` lets callers
     apply the same policy deliberately.
     """
@@ -159,8 +178,9 @@ class SpecializedViterbi:
 
     @staticmethod
     def spec_memory_bytes(states_num: int, emit_num: int, level: int) -> int:
+        # +1: the identity padding symbol joins the tuple radix
         np_states = pad_to_lane(states_num)
-        return (emit_num**level) * np_states * np_states * 4
+        return ((emit_num + 1) ** level) * np_states * np_states * 4
 
     def spec_with(self, hmm: HMM) -> None:
         """(Re)build all specialized operators for ``hmm``.
@@ -199,9 +219,11 @@ class SpecializedViterbi:
         cached = None
         if self.cache is not None:
             cached = self.cache.load(hmm.fingerprint(), self.level, np_states)
-        if cached is not None:
+        # "ops_id" (identity-slot format) — entries without it predate the
+        # identity padding symbol and are rebuilt
+        if cached is not None and "ops_id" in cached:
             start_ops = jnp.asarray(cached["start_ops"])
-            ops = jnp.asarray(cached["ops"])
+            ops = jnp.asarray(cached["ops_id"])
             # level 1's tuple_ops ARE the level-1 ops (not stored twice)
             tuple_ops = (
                 jnp.asarray(cached["tuple_ops"]) if "tuple_ops" in cached else ops
@@ -220,7 +242,7 @@ class SpecializedViterbi:
             if self.cache is not None:
                 arrays = {
                     "start_ops": np.asarray(start_ops),
-                    "ops": np.asarray(ops),
+                    "ops_id": np.asarray(ops),
                 }
                 if self.level > 1:
                     arrays["tuple_ops"] = np.asarray(tuple_ops)
@@ -231,7 +253,7 @@ class SpecializedViterbi:
         self.tuple_ops = tuple_ops
         self._decode = make_chunked_decode(
             self.level,
-            self.emit_num,
+            self.emit_num + 1,  # identity padding symbol joins the radix
             start_fn=lambda o, ops3: ops3[0][o],
             chunk_fn=lambda v, i, ops3: dispatch.step_mv(ops3[2][i], v),
             tail_fn=lambda v, o, ops3: dispatch.step_mv(ops3[1][o], v),

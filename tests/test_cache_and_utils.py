@@ -74,6 +74,25 @@ def test_operator_cache_corrupt_entry_rebuilds(tmp_path):
     assert almost_equal_vec(spec2.run_spec(seq), viterbi_scores_oracle(hmm, seq))
 
 
+def test_identity_padding_symbol_is_noop():
+    """Appending the identity symbol (index E) must not change scores —
+    the ragged-batch padding contract of the chunked spec decode."""
+    import jax.numpy as jnp
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    seq = read_emit_seq(os.path.join(TEST_SEQS, "3_test_seq.ess"))[0]
+    for level in (2, 3):
+        spec = SpecializedViterbi(level=level)
+        spec.spec_with(hmm)
+        want = spec.run_spec(seq)
+        for pad in (1, 2, 5):
+            padded = np.concatenate(
+                [seq, np.full(pad, hmm.emit_num, dtype=np.int32)]
+            )
+            got = np.asarray(spec._decode(jnp.asarray(padded)))[: hmm.states_num]
+            np.testing.assert_array_equal(got, want), (level, pad)
+
+
 def test_step_timer_summary():
     t = StepTimer()
     for _ in range(5):
