@@ -85,9 +85,6 @@ def _packed_work(seqs, lanes: int, n_batches: int):
 
 def main() -> None:
     import spec_viterbi_tpu as svt
-    from spec_viterbi_tpu.utils import enable_persistent_cache
-
-    enable_persistent_cache()
 
     hmm = svt.read_hmm(CHMM)
     seqs = svt.read_emit_seq(ESS)

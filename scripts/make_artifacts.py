@@ -28,7 +28,6 @@ from spec_viterbi_tpu.bench.bench_viterbi import (
     benchmark_viterbi_impls_to_dat_file,
     benchmark_viterbi_spec_impls_to_dat_file,
 )
-from spec_viterbi_tpu.utils import enable_persistent_cache
 
 DATASETS = ("emit_3_3500_20", "emit_3_7000_20", "covid-19", "emit_50_3500_20")
 CHMM_DIR = "/root/reference/chmm_files"
@@ -37,7 +36,8 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def main():
-    enable_persistent_cache()
+    # NOTE: the JAX persistent compile cache HANGS axon remote compiles
+    # (utils/compile_cache.py) — every shape compiles fresh here.
     os.makedirs(OUT_DIR, exist_ok=True)
     t00 = time.time()
     for ds in DATASETS:

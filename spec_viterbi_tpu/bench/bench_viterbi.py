@@ -20,8 +20,10 @@ mode rides the fused Pallas kernel).
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
+import signal
 
 import numpy as np
 
@@ -31,6 +33,29 @@ from spec_viterbi_tpu.models.decoder import ViterbiDecoder
 from spec_viterbi_tpu.models.specializer import SpecializedViterbi
 
 DEFAULT_MODES = ("dense", "structured")
+
+# Axon remote compiles occasionally stall outright (bench.py has the same
+# guard); a hung compile must cost one NaN cell, not the whole sweep.
+CELL_DEADLINE_S = int(os.environ.get("SVT_BENCH_CELL_DEADLINE_S", "900"))
+
+
+@contextlib.contextmanager
+def _cell_deadline(seconds: int = CELL_DEADLINE_S):
+    """SIGALRM deadline for one benchmark cell (main thread only)."""
+    if seconds <= 0:
+        yield
+        return
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"benchmark cell exceeded {seconds}s")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def _iter_models(chmm_dir: str, max_states: int | None = None):
@@ -76,16 +101,23 @@ def benchmark_viterbi_impls_to_dat_file(
             print(f"[bench] {os.path.basename(path)} ({hmm.states_num} states)")
         row: list[float] = []
         for mode in modes:
-            dec = ViterbiDecoder(hmm, mode=mode)
-            handle = dec.prepare_batch(seqs)
+            try:
+                with _cell_deadline():
+                    dec = ViterbiDecoder(hmm, mode=mode)
+                    handle = dec.prepare_batch(seqs)
 
-            def run():
-                harness.block_output(dec.run_batch(handle))
+                    def run():
+                        harness.block_output(dec.run_batch(handle))
 
-            run()  # warmup/compile outside the timed runs
-            row.append(
-                harness.get_median(harness.get_sorted_run_times(run, times_to_run))
-            )
+                    run()  # warmup/compile outside the timed runs
+                    row.append(
+                        harness.get_median(
+                            harness.get_sorted_run_times(run, times_to_run)
+                        )
+                    )
+            except Exception as exc:
+                print(f"[bench] {os.path.basename(path)} {mode}: FAILED ({exc})")
+                row.append(float("nan"))
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench]   -> {row}")
@@ -216,19 +248,27 @@ def benchmark_viterbi_spec_impls_to_dat_file(
                     if getattr(spec, "tuple_ops", None) is not None:
                         harness.block_output(spec.tuple_ops)
 
-                prep()  # compile
-                prep_t = harness.get_median(
-                    harness.get_sorted_run_times(
-                        prep, prep_times_to_run or times_to_run
-                    )
-                )
+                try:
+                    with _cell_deadline():
+                        prep()  # compile
+                        prep_t = harness.get_median(
+                            harness.get_sorted_run_times(
+                                prep, prep_times_to_run or times_to_run
+                            )
+                        )
 
-                run = _spec_decode_runner(spec, seqs)
-                run()  # compile
-                run_t = harness.get_median(
-                    harness.get_sorted_run_times(run, times_to_run)
-                )
-                row += [prep_t, run_t]
+                        run = _spec_decode_runner(spec, seqs)
+                        run()  # compile
+                        run_t = harness.get_median(
+                            harness.get_sorted_run_times(run, times_to_run)
+                        )
+                    row += [prep_t, run_t]
+                except Exception as exc:
+                    print(
+                        f"[bench-spec] {os.path.basename(path)} {name} "
+                        f"L{level}: FAILED ({exc})"
+                    )
+                    row += [float("nan"), float("nan")]
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench-spec]   -> {row}")

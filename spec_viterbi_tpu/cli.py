@@ -80,6 +80,24 @@ def _cmd_decode(args) -> int:
 
     hmm = read_hmm(args.chmm)
     seqs = read_emit_seq(args.ess)
+    if args.spec_level:
+        # specialized decode (run_Viterbi_spec analog) via the structured
+        # specializer; --op-cache persists the operator stacks across runs
+        from spec_viterbi_tpu.models.spec_structured import (
+            StructuredSpecializedViterbi,
+        )
+
+        cache = None
+        if args.op_cache:
+            from spec_viterbi_tpu.utils import OperatorCache
+
+            cache = OperatorCache()
+        spec = StructuredSpecializedViterbi(level=args.spec_level, cache=cache)
+        spec.spec_with(hmm)
+        for i, v in enumerate(spec.run_spec_batch(seqs)):
+            head = " ".join(f"{x:.4f}" for x in v[:8])
+            print(f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] min={np.min(v):.4f}")
+        return 0
     dec = ViterbiDecoder(hmm, mode=args.mode)
     if args.path:
         for i, (scores, path) in enumerate(dec.decode_path_batch(seqs)):
@@ -247,6 +265,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("ess")
     d.add_argument("--mode", default="auto")
     d.add_argument("--path", action="store_true", help="print Viterbi paths")
+    d.add_argument("--spec-level", type=int, default=0,
+                   help="decode via level-L structured specialization")
+    d.add_argument("--op-cache", action="store_true",
+                   help="persist/load specialized operators (~/.cache)")
     d.set_defaults(fn=_cmd_decode)
 
     sc = sub.add_parser("bench-scaling", help="DP scaling sweep over mesh sizes")
@@ -296,10 +318,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    # every shape compiles once per machine, ever (utils/compile_cache.py)
-    from spec_viterbi_tpu.utils import enable_persistent_cache
-
-    enable_persistent_cache()
     return args.fn(args)
 
 

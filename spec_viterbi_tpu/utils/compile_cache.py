@@ -1,10 +1,12 @@
 """Persistent XLA compilation cache.
 
-Remote TPU compiles through the axon tunnel cost 30–200 s per new kernel
-shape (CLAUDE.md); the benchmark sweep touches ~100 distinct
-(model-size × sequence-length) shapes. JAX's persistent compilation cache
-works through the tunnel (measured: 1.8 s warm load vs >400 s cold
-compile), so every shape compiles once per machine, ever.
+**Do NOT enable on the axon TPU backend.** Measured behavior: a small
+kernel round-trips fine (1.8 s warm load), but enabling the cache makes
+real decode-scan compiles HANG (>400 s and counting; the same program
+compiles in 33 s with the cache off) — the axon PJRT plugin's executable
+serialization appears to deadlock the remote-compile helper. Nothing in
+the library calls this by default; it remains useful for CPU runs (the
+virtual-mesh test suite) where it behaves normally.
 """
 
 from __future__ import annotations

@@ -119,6 +119,21 @@ def test_cli_generators_roundtrip(tmp_path, capsys):
     assert hmm.states_num == 16 and len(seqs) == 3 and len(seqs[0]) == 7
 
 
+def test_cli_decode_spec_level(capsys):
+    from spec_viterbi_tpu.cli import main
+
+    rc = main(
+        [
+            "decode",
+            os.path.join(TEST_CHMMS, "1_test_chmm.chmm"),
+            os.path.join(TEST_SEQS, "1_test_seq.ess"),
+            "--spec-level", "2",
+        ]
+    )
+    assert rc == 0
+    assert "min=" in capsys.readouterr().out
+
+
 def test_cli_decode(capsys):
     from spec_viterbi_tpu.cli import main
 
