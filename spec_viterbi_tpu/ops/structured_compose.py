@@ -226,6 +226,82 @@ def _any_finite(x: np.ndarray) -> bool:
     return False
 
 
+def _shift_bool(x: np.ndarray, d: int) -> np.ndarray:
+    """``_shift_dst_batch`` on boolean footprints (False = +inf)."""
+    out = np.zeros_like(x)
+    n = x.shape[-1]
+    if d == 0:
+        return x
+    if d > 0:
+        out[..., d:] = x[..., : n - d]
+    else:
+        out[..., : n + d] = x[..., -d:]
+    return out
+
+
+def _slot_plan(l1, prev):
+    """A-priori slot aliveness from finiteness footprints.
+
+    A composed entry at ``(e, p, i)`` is finite only where both factors
+    are, and the batch axes are independent under broadcasting, so a slot
+    is alive iff the any-over-batch footprints of its factors intersect
+    (exact for diag products and diag×rank1 u-merges; conservative for
+    rank1×rank1, where the e-axis couples ``auu`` and ``aww`` — a false
+    "alive" just stores an all-inf slot, which is the min-identity and
+    semantically inert). This replaces round-2's post-hoc ``_any_finite``
+    prune, whose `ascontiguousarray` copies re-faulted ~1 GB of fresh
+    pages at level 3 (7.8 s of a 21 s compose on the measured VM).
+
+    Returns ``(out_offsets, diag_pairs, g1_slots, g2_slots)`` where
+    ``diag_pairs[slot] = [(ka, kb), …]`` lists live contributing pairs,
+    ``g1_slots = [(r, [ka…], [a…]), …]`` the live inherited slots with
+    their live diag/rank1 contributors, and ``g2_slots = [(a, kb), …]``.
+    """
+    offs_a, adv, auu, aww = l1
+    offs_b, bdv, buu, bww = prev
+    fa_d = np.isfinite(adv).any(axis=0)  # [Da, n]
+    fb_d = np.isfinite(bdv).any(axis=0)  # [Db, n]
+    fa_u = np.isfinite(auu).any(axis=0)  # [Ra, n]
+    fa_w = np.isfinite(aww).any(axis=0)
+    fb_u = np.isfinite(buu).any(axis=0)  # [Rb, n]
+    fb_w = np.isfinite(bww).any(axis=0)
+    fa_u_any = fa_u.any(axis=-1)  # [Ra]
+    fb_w_any = fb_w.any(axis=-1)  # [Rb]
+
+    pairs: dict[int, list[tuple[int, int]]] = {}
+    for ka, d_a in enumerate(offs_a):
+        for kb, d_b in enumerate(offs_b):
+            if (fa_d[ka] & _shift_bool(fb_d[kb], d_a)).any():
+                pairs.setdefault(d_a + d_b, []).append((ka, kb))
+    out_offsets = sorted(pairs)
+    diag_pairs = [pairs[d] for d in out_offsets]
+
+    g1_slots = []
+    for r in range(buu.shape[1]):
+        if not fb_w_any[r]:
+            continue  # w all-inf: slot is inert whatever u merges in
+        kas = [
+            ka
+            for ka, d_a in enumerate(offs_a)
+            if (fa_d[ka] & _shift_bool(fb_u[r], d_a)).any()
+        ]
+        aas = [
+            a
+            for a in range(auu.shape[1])
+            if fa_u_any[a] and (fa_w[a] & fb_u[r]).any()
+        ]
+        if kas or aas:
+            g1_slots.append((r, kas, aas))
+
+    g2_slots = [
+        (a, kb)
+        for a in range(auu.shape[1])
+        for kb in range(len(offs_b))
+        if fa_u_any[a] and (fa_w[a] & fb_d[kb]).any()
+    ]
+    return out_offsets, diag_pairs, g1_slots, g2_slots
+
+
 def batched_compose_level(l1, prev, threads: int | None = None):
     """One ``add_level`` step in array form: all E symbols × all P tuples.
 
@@ -236,79 +312,78 @@ def batched_compose_level(l1, prev, threads: int | None = None):
     ``GraphBLAS_spec_impl.cpp:15-36`` and the scalar path). All-inf diag
     offsets and rank-1 slots are pruned globally.
 
-    The slot schema is known a priori, so outputs are preallocated
-    ``[E, P, slots, N]`` slabs filled by a thread pool over P-chunks with
-    ``out=``-parameter ufuncs (NumPy releases the GIL on large arrays) —
-    the level-3 Pfam step runs at memory bandwidth across cores instead of
-    single-threaded with temporaries.
+    Dead slots are identified BEFORE allocation from finiteness footprints
+    (`_slot_plan`), so the ``[E, P, slots, N]`` output slabs are allocated
+    at their final pruned size — no post-hoc copy — and eagerly faulted
+    via ``populate_empty`` (fresh-page first-touch is the measured
+    bottleneck on these VMs, see ``utils/hostmem.py``). The fill is a
+    thread pool over P-chunks with ``out=``-parameter ufuncs (NumPy
+    releases the GIL on large arrays), writing each slab exactly once.
     """
     import concurrent.futures
     import os as _os
+
+    from spec_viterbi_tpu.utils.hostmem import populate_empty
 
     offs_a, adv, auu, aww = l1
     offs_b, bdv, buu, bww = prev
     e, _, n = adv.shape
     p = bdv.shape[0]
-    ra = auu.shape[1]
-    rb = buu.shape[1]
 
-    out_offsets = sorted({d_a + d_b for d_a in offs_a for d_b in offs_b})
+    out_offsets, diag_pairs, g1_slots, g2_slots = _slot_plan(l1, prev)
     dc = len(out_offsets)
-    rc = rb + ra * len(offs_b)
-    # np.empty everywhere: INF-init happens inside the threaded fill so
-    # first-touch page faults spread across the pool (this VM faults fresh
-    # pages slowly; single-threaded init dominated the level-3 build)
-    dv_out = np.empty((e, p, dc, n), np.float32)
-    uu_out = np.empty((e, p, rc, n), np.float32)
-    ww_out = np.empty((e, p, rc, n), np.float32)
+    rc = len(g1_slots) + len(g2_slots)
+    dv_out = populate_empty((e, p, dc, n), np.float32)
+    uu_out = populate_empty((e, p, rc, n), np.float32)
+    ww_out = populate_empty((e, p, rc, n), np.float32)
 
-    # shifted B stacks shared across symbols and chunks
-    shifted_bdv = {d_a: _shift_dst_batch(bdv, d_a) for d_a in set(offs_a)}
-    shifted_buu = {d_a: _shift_dst_batch(buu, d_a) for d_a in set(offs_a)}
+    # shifted B stacks shared across symbols and chunks (only offsets a
+    # live contributor actually uses)
+    used_d = {offs_a[ka] for pl in diag_pairs for ka, _ in pl} | {
+        offs_a[ka] for _, kas, _ in g1_slots for ka in kas
+    }
+    shifted_bdv = {d_a: _shift_dst_batch(bdv, d_a) for d_a in used_d}
+    shifted_buu = {d_a: _shift_dst_batch(buu, d_a) for d_a in used_d}
 
     def fill(p0: int, p1: int) -> None:
         sl = slice(p0, p1)
         buf = np.empty((e, p1 - p0, n), np.float32)
-        dv_out[:, sl] = INF
-        uu_out[:, sl, :rb, :] = INF  # group-1 slots accumulate via minimum
         with np.errstate(invalid="ignore"):
             # diagonals: Diag(d_a) ⊗ Diag(d_b) → Diag(d_a+d_b), min-merged
-            for ka, d_a in enumerate(offs_a):
-                for kb, d_b in enumerate(offs_b):
+            for slot, pair_list in enumerate(diag_pairs):
+                acc = dv_out[:, sl, slot, :]
+                acc[:] = INF
+                for ka, kb in pair_list:
                     np.add(
                         adv[:, None, ka, :],
-                        shifted_bdv[d_a][None, sl, kb, :],
-                        out=buf,
-                    )
-                    slot = out_offsets.index(d_a + d_b)
-                    np.minimum(
-                        dv_out[:, sl, slot, :], buf, out=dv_out[:, sl, slot, :]
-                    )
-            # group 1: w inherited from B slot r; u min-merged over every
-            # A component landing there (diag shifts + rank-1 dots)
-            for r in range(rb):
-                acc = uu_out[:, sl, r, :]
-                for ka, d_a in enumerate(offs_a):
-                    np.add(
-                        adv[:, None, ka, :],
-                        shifted_buu[d_a][None, sl, r, :],
+                        shifted_bdv[offs_a[ka]][None, sl, kb, :],
                         out=buf,
                     )
                     np.minimum(acc, buf, out=acc)
-                for a in range(ra):
+            # group 1: w inherited from B slot r; u min-merged over every
+            # live A component landing there (diag shifts + rank-1 dots)
+            for slot, (r, kas, aas) in enumerate(g1_slots):
+                acc = uu_out[:, sl, slot, :]
+                acc[:] = INF
+                for ka in kas:
+                    np.add(
+                        adv[:, None, ka, :],
+                        shifted_buu[offs_a[ka]][None, sl, r, :],
+                        out=buf,
+                    )
+                    np.minimum(acc, buf, out=acc)
+                for a in aas:
                     np.add(aww[:, None, a, :], buu[None, sl, r, :], out=buf)
                     dot = buf.min(axis=-1)  # [E, pc]
                     np.add(auu[:, None, a, :], dot[:, :, None], out=buf)
                     np.minimum(acc, buf, out=acc)
-                ww_out[:, sl, r, :] = bww[None, sl, r, :]
+                ww_out[:, sl, slot, :] = bww[None, sl, r, :]
             # group 2: Rank1(a) ⊗ Diag(d_b) → Rank1(a.u, shift(a.w+b.vals))
-            slot = rb
-            for a in range(ra):
-                for kb, d_b in enumerate(offs_b):
-                    np.add(aww[:, None, a, :], bdv[None, sl, kb, :], out=buf)
-                    ww_out[:, sl, slot, :] = _shift_dst_batch(buf, -d_b)
-                    uu_out[:, sl, slot, :] = auu[:, None, a, :]
-                    slot += 1
+            for slot, (a, kb) in enumerate(g2_slots, start=len(g1_slots)):
+                d_b = offs_b[kb]
+                np.add(aww[:, None, a, :], bdv[None, sl, kb, :], out=buf)
+                ww_out[:, sl, slot, :] = _shift_dst_batch(buf, -d_b)
+                uu_out[:, sl, slot, :] = auu[:, None, a, :]
 
     nt = threads or min(4, _os.cpu_count() or 1)
     if nt > 1 and p >= 2 * nt:
@@ -318,23 +393,12 @@ def batched_compose_level(l1, prev, threads: int | None = None):
     else:
         fill(0, p)
 
-    # global all-inf pruning (early-exit scans; only dead slots pay)
-    keep_d = [k for k in range(dc) if _any_finite(dv_out[:, :, k, :])]
-    keep_r = [
-        r
-        for r in range(rc)
-        if _any_finite(uu_out[:, :, r, :]) and _any_finite(ww_out[:, :, r, :])
-    ]
-    new_offsets = tuple(out_offsets[k] for k in keep_d)
-    dv = dv_out.reshape(e * p, dc, n)
-    uu = uu_out.reshape(e * p, rc, n)
-    ww = ww_out.reshape(e * p, rc, n)
-    if len(keep_d) != dc:
-        dv = np.ascontiguousarray(dv[:, keep_d, :])
-    if len(keep_r) != rc:
-        uu = np.ascontiguousarray(uu[:, keep_r, :])
-        ww = np.ascontiguousarray(ww[:, keep_r, :])
-    return new_offsets, dv, uu, ww
+    return (
+        tuple(out_offsets),
+        dv_out.reshape(e * p, dc, n),
+        uu_out.reshape(e * p, rc, n),
+        ww_out.reshape(e * p, rc, n),
+    )
 
 
 def batched_levels(sop: StructuredOperator, em: np.ndarray, level: int):
