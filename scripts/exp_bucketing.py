@@ -1,0 +1,133 @@
+"""TPU experiment: bucketed vs whole-batch ragged decode.
+
+Workload: the covid-19 length profile (16 seqs, 38-7,096 symbols)
+replicated to 512 lanes — the ragged serving shape. The whole-batch call
+pads every lane to 7,096 symbols; the bucketed plan runs each 128-lane
+block at its own quantized max length.
+
+Measures (a) end-to-end decode_batch wall (includes ~60 MB/s tunnel
+transfers), (b) pre-staged decode compute via the enqueue-K/probe-once
+pattern, (c) end-to-end decode_path_batch (bucketing also shrinks the
+[B, T] path transfer and the backpointer tensor).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import spec_viterbi_tpu as svt
+from spec_viterbi_tpu.ops.fused_pallas import FusedStructuredDecoder
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+from spec_viterbi_tpu.utils.batching import bucket_plan
+
+REPS = 3
+K = 4  # pre-staged workloads for the compute measurement
+COPIES = 32  # 16 covid seqs x 32 = 512 lanes
+
+
+def main():
+    hmm = svt.read_hmm("/root/reference/chmm_files/2405.chmm")
+    sop = StructuredOperator.from_hmm(hmm)
+    fd = FusedStructuredDecoder(
+        sop, hmm.emission_matrix(pad_to=sop.n), hmm.start_vector(pad_to=sop.n)
+    )
+    base = svt.read_emit_seq("/root/reference/ess_files/covid-19.ess")
+    lens = [len(s) for s in base] * COPIES
+    total = sum(lens)
+    plan = bucket_plan(lens)
+    print(f"{len(lens)} lanes, {total} symbols, max {max(lens)}")
+    print(f"plan: {[(len(i), t) for i, t in plan]}")
+    naive_steps = ((len(lens) + 127) // 128) * 128 * max(lens)
+    plan_steps = sum(((len(i) + 127) // 128) * 128 * t for i, t in plan)
+    print(
+        f"padded lane-steps: naive {naive_steps/1e6:.2f}M vs bucketed "
+        f"{plan_steps/1e6:.2f}M ({naive_steps/plan_steps:.2f}x)"
+    )
+
+    def workload(seed):
+        r = np.random.default_rng(seed)
+        return [
+            r.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens
+        ]
+
+    # (a) end-to-end decode_batch
+    for name, kw in (("whole e2e", {"bucketed": False}), ("bucket e2e", {})):
+        fd.decode_batch(workload(999), **kw)  # warm/compile
+        times = []
+        for rep in range(REPS):
+            seqs = workload(rep)
+            t0 = time.perf_counter()
+            fd.decode_batch(seqs, **kw)
+            times.append(time.perf_counter() - t0)
+        sec = sorted(times)[REPS // 2]
+        print(
+            f"{name:12s}: {sec*1e3:8.1f} ms  {total/sec/1e6:6.2f} M sym/s",
+            flush=True,
+        )
+
+    # (b) pre-staged compute: enqueue K workloads, probe one element once
+    def staged(kw_bucketed):
+        out = []
+        for k in range(K):
+            seqs = workload(100 + k)
+            if kw_bucketed:
+                p = bucket_plan([len(s) for s in seqs])
+                out.append(
+                    [
+                        (fd.prepare([seqs[i] for i in idx], t_pad=t), len(idx))
+                        for idx, t in p
+                    ]
+                )
+            else:
+                out.append([(fd.prepare(seqs), len(seqs))])
+        return out
+
+    for name, bucketed in (("whole comp", False), ("bucket comp", True)):
+        hs = staged(bucketed)
+        # warm every shape
+        for h, _ in hs[0]:
+            st, ln, m = h
+            fd._jit_run(st, ln, masked=m)
+        np.asarray(fd._jit_run(*hs[0][0][0][:2], masked=hs[0][0][0][2])[:1, :1])
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            last = None
+            for h in hs:
+                for (st, ln, m), _ in h:
+                    last = fd._jit_run(st, ln, masked=m)
+            np.asarray(last[:1, :1])
+            times.append(time.perf_counter() - t0)
+        sec = sorted(times)[REPS // 2] / K
+        print(
+            f"{name:12s}: {sec*1e3:8.1f} ms  {total/sec/1e6:6.2f} M sym/s",
+            flush=True,
+        )
+
+    # (c) end-to-end path decode — the whole-batch form is INFEASIBLE at
+    # this shape (s16[7095, 2432, 512] backpointers = 17.7 GB > HBM);
+    # bucketing + lane chunking is what makes it run at all
+    if not fd.path_supported(max(lens), len(lens)):
+        need = (max(lens) - 1) * fd.n * 512 * 2 / 2**30
+        print(f"whole path  :   infeasible ({need:.1f} GiB backpointers)")
+    for name, kw in (("bucket path", {}),):
+        fd.decode_path_batch(workload(998), **kw)
+        times = []
+        for rep in range(REPS):
+            seqs = workload(50 + rep)
+            t0 = time.perf_counter()
+            fd.decode_path_batch(seqs, **kw)
+            times.append(time.perf_counter() - t0)
+        sec = sorted(times)[REPS // 2]
+        print(
+            f"{name:12s}: {sec*1e3:8.1f} ms  {total/sec/1e6:6.2f} M sym/s",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

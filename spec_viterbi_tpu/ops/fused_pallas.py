@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spec_viterbi_tpu.hmm import MOD_PROB_DTYPE, validate_obs_seq
 from spec_viterbi_tpu.ops.structured import StructuredOperator
-from spec_viterbi_tpu.utils.batching import pad_batch
+from spec_viterbi_tpu.utils.batching import bucket_plan, quantize_t
 
 BB = 128  # batch (lane) block
 E_PAD = 32  # minimum one-hot contraction pad; grows in 32s for big alphabets
@@ -246,11 +246,26 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("extra",))
-def _pad_lanes(seqs_t, extra: int):
-    """Device-side lane padding (symbol 0 — any valid symbol works; the
-    padding lanes are sliced off on extraction)."""
-    return jnp.pad(seqs_t, ((0, 0), (0, extra)))
+def _quantize_total(n: int) -> int:
+    """Quantized concatenated-stream length (bounds compiled shapes)."""
+    return quantize_t(max(n, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("t_total",))
+def _expand_symbols(flat, off, last, t_total: int):
+    """Device-side ragged→rectangular expansion: ``[T, B]`` from the
+    concatenated symbol stream.
+
+    ``out[t, b] = flat[min(off[b] + t, last[b])]`` — time padding repeats
+    each lane's final symbol (value irrelevant: padded steps are masked or
+    belong to sliced-off lanes). The host ships only the real symbols:
+    through a slow host↔device link this is the difference between
+    O(Σ len) and O(B · max len) transfer for ragged batches (7× on the
+    covid-19 profile, whose max/mean length ratio is ~7).
+    """
+    t_iota = jnp.arange(t_total, dtype=jnp.int32)[:, None]
+    idx = jnp.minimum(off[None, :] + t_iota, last[None, :])
+    return jnp.take(flat, idx)
 
 
 def _backtrace_kernel(src_ref, last_ref, path_ref, state_ref):
@@ -488,36 +503,80 @@ class FusedStructuredDecoder:
         if b_real is not None:
             scores = scores[:b_real, : self.states_num]
             path = path[:b_real]
-        return scores, path
+        # states fit int16 (path_supported guarantees it) — halve the
+        # [B, T] D2H transfer; callers re-widen to int32 on host
+        return scores, path.astype(jnp.int16)
 
     # HBM budget for the int16 backpointer tensor before falling back to
     # the per-sequence XLA path decode.
     MAX_PATH_BYTES = 6 << 30
 
     def path_supported(self, t_max: int, batch: int = BB) -> bool:
+        """Whether ONE fused path call of this shape fits the HBM budget.
+
+        `decode_path_batch` additionally chunks wide batches into
+        successive budget-sized calls, so a batch is decodable whenever
+        ``path_supported(t_max)`` holds at the default 128-lane block.
+        """
         if self.n > np.iinfo(np.int16).max:  # int16 backpointers
             return False
         b_pad = ((batch + BB - 1) // BB) * BB
         return max(0, t_max - 1) * self.n * b_pad * 2 <= self.MAX_PATH_BYTES
 
+    def _path_lane_budget(self, t_q: int) -> int:
+        """Max lanes (multiple of 128) whose backpointer tensor fits."""
+        per_lane = max(1, t_q - 1) * self.n * 2
+        return (self.MAX_PATH_BYTES // per_lane) // BB * BB
+
     def decode_path_batch(
-        self, seqs: list[np.ndarray]
+        self, seqs: list[np.ndarray], bucketed: bool = True
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """[(scores, path)] per sequence, exact oracle tie-breaking."""
+        """[(scores, path)] per sequence, exact oracle tie-breaking.
+
+        Bucketing (see `decode_batch`) additionally shrinks the int16
+        backpointer tensor: each bucket allocates ``t_q·Np·lanes`` instead
+        of every lane paying the global max length.
+        """
         if not seqs:
             return []
-        seqs_t, lengths, masked = self.prepare(seqs)
-        scores, paths = self._jit_run_path(
-            seqs_t, lengths, masked=masked, b_real=len(seqs)
-        )
-        scores = np.asarray(scores)
-        paths = np.asarray(paths)
-        return [
-            (scores[i], paths[i, : len(s)].astype(np.int32))
-            for i, s in enumerate(seqs)
-        ]
+        if bucketed:
+            lens = [len(s) for s in seqs]
+            plan = bucket_plan(lens) or [(list(range(len(seqs))), max(lens))]
+            # lane-chunk each bucket so no single call's backpointer tensor
+            # exceeds the HBM budget (a 512×7096 covid-profile batch needs
+            # 17.7 GB in one call — more than a v5e chip has)
+            calls = []
+            for idx, t_q in plan:
+                if not self.path_supported(t_q):
+                    raise ValueError(
+                        f"path decode of length {t_q} exceeds the "
+                        f"backpointer budget even at {BB} lanes; use the "
+                        f"per-sequence XLA path decode"
+                    )
+                step = max(BB, self._path_lane_budget(t_q))
+                calls += [
+                    (idx[i : i + step], t_q) for i in range(0, len(idx), step)
+                ]
+        else:
+            calls = [(list(range(len(seqs))), max(len(s) for s in seqs))]
+        outs = []
+        for idx, t_q in calls:  # enqueue all calls, drain in order below
+            st, ln, masked = self.prepare([seqs[i] for i in idx], t_pad=t_q)
+            outs.append(
+                self._jit_run_path(st, ln, masked=masked, b_real=len(idx))
+            )
+        result: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(seqs)
+        for (idx, _), (scores, paths) in zip(calls, outs):
+            scores = np.asarray(scores)
+            paths = np.asarray(paths)
+            for row, i in enumerate(idx):
+                result[i] = (
+                    scores[row],
+                    paths[row, : len(seqs[i])].astype(np.int32),
+                )
+        return result
 
-    def prepare(self, seqs: list[np.ndarray]):
+    def prepare(self, seqs: list[np.ndarray], t_pad: int | None = None):
         """Pad/transfer a batch once; returns (seqs_t, lengths, masked).
 
         A uniform-length batch compiles the mask out of the kernel
@@ -526,19 +585,40 @@ class FusedStructuredDecoder:
         only the real sequences (H2D through the axon tunnel is ~60 MB/s,
         so a single 3,500-symbol sequence uploads 14 KB instead of the
         1.8 MB padded block — the difference between a ~31 ms and ~57 ms
-        single-sequence decode).
+        single-sequence decode). ``t_pad`` forces the time dimension to a
+        fixed (e.g. bucket-quantized) length so repeated ragged workloads
+        reuse compiled shapes.
         """
         seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
-        batch, lengths = pad_batch(seqs, 1, min_t=2)  # time padding only
-        b_real = batch.shape[0]
+        if any(len(s) == 0 for s in seqs):
+            # the recurrence consumes seq[0] before any masking (the
+            # reference likewise indexes seq[0] unconditionally,
+            # GraphBLAS_impl.cpp:59)
+            raise ValueError("cannot decode an empty sequence")
+        t_min = max(2, t_pad or 2)
+        b_real = len(seqs)
         b_pad = ((b_real + BB - 1) // BB) * BB
-        seqs_t = jnp.asarray(batch.T.copy())  # [T, b_real]
-        if b_pad != b_real:
-            seqs_t = _pad_lanes(seqs_t, b_pad - b_real)
-            lengths = np.pad(lengths, (0, b_pad - b_real))
-        # mask when lengths differ OR when min_t padding added a timestep
-        # (a uniform length-1 batch would otherwise run one bogus step)
-        masked = len({len(s) for s in seqs}) > 1 or max(len(s) for s in seqs) < 2
+        t_total = max(t_min, max(len(s) for s in seqs))
+        lengths = np.zeros(b_pad, dtype=np.int32)
+        lengths[:b_real] = [len(s) for s in seqs]
+        # compact upload: concatenated symbols + per-lane offsets, expanded
+        # to [T, B] on device (padding lanes alias lane 0 — discarded)
+        off = np.zeros(b_pad, dtype=np.int32)
+        np.cumsum(lengths[: b_real - 1], out=off[1:b_real])
+        last = np.where(lengths > 0, off + lengths - 1, 0).astype(np.int32)
+        flat = np.concatenate(seqs).astype(np.int32)
+        q_tot = _quantize_total(flat.size)
+        if q_tot != flat.size:  # bound the set of compiled expand shapes
+            flat = np.pad(flat, (0, q_tot - flat.size))
+        seqs_t = _expand_symbols(
+            jnp.asarray(flat), jnp.asarray(off), jnp.asarray(last), t_total
+        )
+        # mask when lengths differ OR when padding added timesteps every
+        # lane would otherwise run (uniform length-1 batch, t_pad overshoot)
+        masked = (
+            len({len(s) for s in seqs}) > 1
+            or max(len(s) for s in seqs) < t_min
+        )
         return seqs_t, jnp.asarray(lengths[None, :]), masked
 
     def run_prepared(self, handle) -> jax.Array:
@@ -546,12 +626,36 @@ class FusedStructuredDecoder:
         seqs_t, lengths, masked = handle
         return self._jit_run(seqs_t, lengths, masked=masked)
 
-    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
-        """Decode a set of sequences; returns final score vectors."""
+    def decode_batch(
+        self, seqs: list[np.ndarray], bucketed: bool = True
+    ) -> list[np.ndarray]:
+        """Decode a set of sequences; returns final score vectors.
+
+        Ragged multi-block batches are length-bucketed (`bucket_plan`):
+        each bucket runs only its own quantized max length instead of the
+        global max, with all bucket calls enqueued back-to-back and the
+        device queue drained once. ``bucketed=False`` forces the single
+        whole-batch call (used by the equality tests to cross-check).
+        """
         if not seqs:
             return []
-        seqs_t, lengths, masked = self.prepare(seqs)
-        v = np.asarray(
-            self._jit_run(seqs_t, lengths, masked=masked, b_real=len(seqs))
-        )
-        return [v[i] for i in range(len(seqs))]
+        plan = bucket_plan([len(s) for s in seqs]) if bucketed else None
+        if plan is None:
+            seqs_t, lengths, masked = self.prepare(seqs)
+            v = np.asarray(
+                self._jit_run(seqs_t, lengths, masked=masked, b_real=len(seqs))
+            )
+            return [v[i] for i in range(len(seqs))]
+        outs = []
+        for idx, t_q in plan:  # enqueue every bucket
+            st, ln, masked = self.prepare([seqs[i] for i in idx], t_pad=t_q)
+            outs.append(self._jit_run(st, ln, masked=masked, b_real=len(idx)))
+        # single device-side concat → ONE host transfer for all buckets
+        v = np.asarray(jnp.concatenate(outs, axis=0))
+        result: list[np.ndarray | None] = [None] * len(seqs)
+        row = 0
+        for idx, _ in plan:
+            for i in idx:
+                result[i] = v[row]
+                row += 1
+        return result

@@ -11,6 +11,69 @@ from __future__ import annotations
 
 import numpy as np
 
+# Geometric length-quantization grid for bucketed decode: powers of two
+# plus the 1.5× midpoints (…, 512, 768, 1024, 1536, 2048, …). Bounds the
+# set of compiled kernel shapes (≤2 per octave of sequence length) while
+# capping quantization waste at 33% of a bucket's step count.
+_T_GRID_BASE = 64
+
+
+def quantize_t(t: int) -> int:
+    """Smallest grid value ≥ t (grid = {64·2^k, 96·2^k})."""
+    q = _T_GRID_BASE
+    while q < t:
+        q3 = q + (q >> 1)
+        if q3 >= t:
+            return q3
+        q <<= 1
+    return q
+
+
+def bucket_plan(
+    lengths: list[int],
+    lane_block: int = 128,
+    min_gain: float = 1.3,
+    max_group: int = 512,
+) -> list[tuple[list[int], int]] | None:
+    """Length-bucketed execution plan for a ragged batch, or None.
+
+    The fused kernel runs every ``lane_block``-lane grid block for the
+    batch's COMMON padded length, so one long sequence makes every block
+    pay its step count. Sorting by length and cutting the batch into
+    per-block buckets lets each bucket run only its own (quantized) max
+    length. Returns ``[(original_indices, t_pad), …]`` longest-first, with
+    same-``t_pad`` neighbors merged up to ``max_group`` lanes (wider calls
+    amortize per-step grid overhead — measured optimum ~512 lanes), or
+    None when the padded-step saving is below ``min_gain`` (uniform or
+    single-block batches). Purely a host-side plan; no reference analog
+    (the reference decodes sequences one at a time, bench_Viterbi.h:53-56).
+    """
+    b = len(lengths)
+    if b <= lane_block:
+        return None
+    order = sorted(range(b), key=lambda i: -lengths[i])
+    blocks = [order[i : i + lane_block] for i in range(0, b, lane_block)]
+    buckets: list[tuple[list[int], int]] = []
+    for blk in blocks:
+        t_q = quantize_t(max(lengths[i] for i in blk))
+        if (
+            buckets
+            and buckets[-1][1] == t_q
+            and len(buckets[-1][0]) + len(blk) <= max_group
+        ):
+            buckets[-1] = (buckets[-1][0] + blk, t_q)
+        else:
+            buckets.append((blk, t_q))
+    lanes_naive = ((b + lane_block - 1) // lane_block) * lane_block
+    naive = lanes_naive * max(lengths)
+    bucketed = sum(
+        ((len(idx) + lane_block - 1) // lane_block) * lane_block * t
+        for idx, t in buckets
+    )
+    if len(buckets) == 1 or naive < min_gain * bucketed:
+        return None
+    return buckets
+
 
 def pad_batch(
     seqs: list[np.ndarray], multiple: int, min_t: int = 1

@@ -1,0 +1,117 @@
+"""Length-bucketed ragged-batch planning and its fused-decode wiring.
+
+The planner is a pure host-side scheduler (no reference analog — the
+reference decodes sequences serially, `bench_Viterbi.h:53-56`); the fused
+kernel is exercised in interpreter mode on CPU. Bucketed results must be
+bitwise equal to the whole-batch call: both run the same kernel, only the
+padded step counts differ, and padded steps never touch live lanes.
+"""
+
+import os
+
+import numpy as np
+
+from conftest import CHMM_DIR, TEST_CHMMS
+
+from spec_viterbi_tpu.hmm import almost_equal_vec
+from spec_viterbi_tpu.io import read_hmm
+from spec_viterbi_tpu.models.oracle import (
+    viterbi_path_oracle,
+    viterbi_scores_oracle,
+)
+from spec_viterbi_tpu.ops.fused_pallas import FusedStructuredDecoder
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+from spec_viterbi_tpu.utils.batching import bucket_plan, quantize_t
+
+
+def _fused_for(hmm):
+    sop = StructuredOperator.from_hmm(hmm)
+    return FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+    )
+
+
+def test_quantize_t_grid():
+    assert quantize_t(1) == 64
+    assert quantize_t(64) == 64
+    assert quantize_t(65) == 96
+    assert quantize_t(96) == 96
+    assert quantize_t(97) == 128
+    assert quantize_t(3500) == 4096
+    assert quantize_t(7096) == 8192
+    for t in (1, 63, 64, 100, 500, 5000, 100_000):
+        q = quantize_t(t)
+        assert q >= t and q <= max(64, int(np.ceil(t * 1.5)))
+
+
+def test_bucket_plan_none_for_small_or_uniform():
+    # single lane block: nothing to split
+    assert bucket_plan([100] * 128) is None
+    # uniform multi-block: no step savings
+    assert bucket_plan([3500] * 512) is None
+    # mild raggedness under the gain threshold
+    assert bucket_plan([3400] * 256 + [3500] * 256) is None
+
+
+def test_bucket_plan_partitions_and_orders():
+    lengths = [40] * 200 + [7000] * 56
+    plan = bucket_plan(lengths)
+    assert plan is not None
+    covered = sorted(i for idx, _ in plan for i in idx)
+    assert covered == list(range(len(lengths)))  # exact partition
+    # longest-first and every index's length fits its bucket
+    assert [t for _, t in plan] == sorted([t for _, t in plan], reverse=True)
+    for idx, t in plan:
+        assert max(lengths[i] for i in idx) <= t
+    # the long sequences pay ~8192 steps, the short ones only 64
+    assert plan[0][1] == 8192 and plan[-1][1] == 64
+
+
+def test_bucket_plan_merges_equal_buckets():
+    # 384 same-length lanes quantize identically -> merged into one call
+    lengths = [500] * 384 + [60] * 384
+    plan = bucket_plan(lengths)
+    assert plan is not None
+    assert len(plan) == 2
+    assert sorted(len(idx) for idx, _ in plan) == [384, 384]
+
+
+def test_bucketed_decode_matches_whole_batch():
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(7)
+    lens = np.concatenate(
+        [rng.integers(2, 30, 150), rng.integers(150, 300, 30)]
+    )
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens
+    ]
+    assert bucket_plan([len(s) for s in seqs]) is not None  # plan active
+    got = fd.decode_batch(seqs)
+    want = fd.decode_batch(seqs, bucketed=False)
+    for g, w, s in zip(got, want, seqs):
+        assert np.array_equal(
+            np.nan_to_num(g, posinf=-1), np.nan_to_num(w, posinf=-1)
+        ), len(s)
+    # spot-check vs the oracle too (bucketed path is a real decode)
+    for i in (0, 75, 160, 179):
+        assert almost_equal_vec(got[i], viterbi_scores_oracle(hmm, seqs[i]))
+
+
+def test_bucketed_path_decode_matches_oracle():
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(11)
+    lens = np.concatenate([rng.integers(2, 20, 140), rng.integers(150, 250, 20)])
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens
+    ]
+    assert bucket_plan([len(s) for s in seqs]) is not None
+    got = fd.decode_path_batch(seqs)
+    for (sc, p), s in zip(got, seqs):
+        osc, op = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(sc, osc)
+        assert np.array_equal(p, op)
