@@ -98,16 +98,20 @@ def time_variant(fd, name, **flags):
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     try:
         rng = np.random.default_rng(0)
-        batches = [
-            jax.device_put(
-                rng.integers(0, fd.emit_num, size=(T, B)).astype(np.int32)
-            )
-            for _ in range(K)
+        # distinct batches per rep — the runtime memoizes identical repeats
+        reps = [
+            [
+                jax.device_put(
+                    rng.integers(0, fd.emit_num, size=(T, B)).astype(np.int32)
+                )
+                for _ in range(K)
+            ]
+            for _ in range(3)
         ]
         lengths = jax.device_put(np.full((1, B), T, np.int32))
-        np.asarray(fd._jit_run(batches[0], lengths, masked=False)[:1, :1])
+        np.asarray(fd._jit_run(reps[0][0], lengths, masked=False)[:1, :1])
         times = []
-        for _ in range(3):
+        for batches in reps:
             t0 = time.perf_counter()
             outs = [fd._jit_run(bt, lengths, masked=False) for bt in batches]
             np.asarray(outs[-1][:1, :1])
@@ -198,11 +202,14 @@ def run_shortchain():
     fp._make_unrolled_kernel = lambda sop, masked, u, t0: make_shortchain_kernel(sop, u)
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     rng = np.random.default_rng(0)
-    batches = [jax.device_put(rng.integers(0, fd.emit_num, size=(T, B)).astype(np.int32)) for _ in range(K)]
+    reps = [
+        [jax.device_put(rng.integers(0, fd.emit_num, size=(T, B)).astype(np.int32)) for _ in range(K)]
+        for _ in range(3)
+    ]
     lengths = jax.device_put(np.full((1, B), T, np.int32))
-    np.asarray(fd._jit_run(batches[0], lengths, masked=False)[:1, :1])
+    np.asarray(fd._jit_run(reps[0][0], lengths, masked=False)[:1, :1])
     times = []
-    for _ in range(3):
+    for batches in reps:
         t0 = time.perf_counter()
         outs = [fd._jit_run(bt, lengths, masked=False) for bt in batches]
         np.asarray(outs[-1][:1, :1])

@@ -286,14 +286,16 @@ class ViterbiDecoder:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """(scores, path) per sequence, oracle-exact tie-breaking.
 
-        On TPU the fused path kernel decodes the whole batch with int16
-        backpointers in HBM (budgeted — `path_supported`); beyond the
-        budget, or off-TPU, sequences decode one at a time.
+        On TPU the fused path kernel decodes the batch with int16
+        backpointers in HBM, bucketed by length and lane-chunked so every
+        call fits the backpointer budget; only when even one 128-lane
+        block of the longest sequence exceeds it (or off-TPU) do
+        sequences fall back to one-at-a-time XLA path decode.
         """
         if not seqs:
             return []
         if self._fused is not None and self._fused.path_supported(
-            max(len(s) for s in seqs), len(seqs)
+            max(len(s) for s in seqs)
         ):
             return self._fused.decode_path_batch(seqs)
         return [self.decode_path(s) for s in seqs]

@@ -541,18 +541,25 @@ class FusedStructuredDecoder:
             return []
         if bucketed:
             lens = [len(s) for s in seqs]
-            plan = bucket_plan(lens) or [(list(range(len(seqs))), max(lens))]
+            plan = bucket_plan(lens, lane_block=BB) or [
+                (list(range(len(seqs))), max(lens))
+            ]
             # lane-chunk each bucket so no single call's backpointer tensor
             # exceeds the HBM budget (a 512×7096 covid-profile batch needs
             # 17.7 GB in one call — more than a v5e chip has)
             calls = []
             for idx, t_q in plan:
                 if not self.path_supported(t_q):
-                    raise ValueError(
-                        f"path decode of length {t_q} exceeds the "
-                        f"backpointer budget even at {BB} lanes; use the "
-                        f"per-sequence XLA path decode"
-                    )
+                    # quantization overshoot (≤1.5×) may cross the budget
+                    # even when the real lengths fit — trade shape reuse
+                    # for feasibility before giving up
+                    t_q = max(lens[i] for i in idx)
+                    if not self.path_supported(t_q):
+                        raise ValueError(
+                            f"path decode of length {t_q} exceeds the "
+                            f"backpointer budget even at {BB} lanes; use "
+                            f"the per-sequence XLA path decode"
+                        )
                 step = max(BB, self._path_lane_budget(t_q))
                 calls += [
                     (idx[i : i + step], t_q) for i in range(0, len(idx), step)
@@ -639,7 +646,11 @@ class FusedStructuredDecoder:
         """
         if not seqs:
             return []
-        plan = bucket_plan([len(s) for s in seqs]) if bucketed else None
+        plan = (
+            bucket_plan([len(s) for s in seqs], lane_block=BB)
+            if bucketed
+            else None
+        )
         if plan is None:
             seqs_t, lengths, masked = self.prepare(seqs)
             v = np.asarray(

@@ -217,15 +217,6 @@ def _shift_dst_batch(x: np.ndarray, d: int) -> np.ndarray:
     return out
 
 
-def _any_finite(x: np.ndarray) -> bool:
-    """Early-exit finiteness scan over the leading axis (alive slots hit
-    a finite value in the first slice; only dead slots scan fully)."""
-    for ei in range(x.shape[0]):
-        if np.isfinite(x[ei]).any():
-            return True
-    return False
-
-
 def _shift_bool(x: np.ndarray, d: int) -> np.ndarray:
     """``_shift_dst_batch`` on boolean footprints (False = +inf)."""
     out = np.zeros_like(x)

@@ -101,6 +101,59 @@ def test_bucketed_decode_matches_whole_batch():
         assert almost_equal_vec(got[i], viterbi_scores_oracle(hmm, seqs[i]))
 
 
+def test_path_budget_quantization_fallback():
+    """When the QUANTIZED bucket length crosses the backpointer budget but
+    the real max length fits, the bucket must run at the real length
+    instead of raising (regression: the first bucketed implementation
+    checked only t_q)."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(5)
+    lens = list(rng.integers(2, 10, 300)) + list(rng.integers(270, 281, 20))
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens
+    ]
+    assert bucket_plan(lens) is not None
+    t_max, n = max(lens), fd.n
+    # budget admits the real max length at 128 lanes but not quantize(280)
+    fd.MAX_PATH_BYTES = (t_max - 1) * n * 128 * 2 + 1
+    assert fd.path_supported(t_max) and not fd.path_supported(
+        quantize_t(t_max)
+    )
+    got = fd.decode_path_batch(seqs)
+    for i in (0, 150, 299, 305, 319):
+        osc, op = viterbi_path_oracle(hmm, seqs[i])
+        assert almost_equal_vec(got[i][0], osc)
+        assert np.array_equal(got[i][1], op)
+
+
+def test_decoder_path_batch_delegates_and_chunks():
+    """ViterbiDecoder.decode_path_batch must reach the fused path whenever
+    ONE 128-lane block fits the budget, relying on lane chunking for the
+    rest (regression: the old gate required the WHOLE batch to fit and
+    silently fell back to per-sequence decode)."""
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    dec = ViterbiDecoder(hmm, mode="structured", use_pallas=False)
+    fd = _fused_for(hmm)
+    dec._fused = fd  # CPU tests: inject the interpret-mode kernel
+    rng = np.random.default_rng(6)
+    t, b, n = 100, 256, fd.n
+    # one 128-lane call fits, the whole 256-lane batch does not
+    fd.MAX_PATH_BYTES = (t - 1) * n * 128 * 2
+    assert fd.path_supported(t) and not fd.path_supported(t, b)
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        for _ in range(b)
+    ]
+    got = dec.decode_path_batch(seqs)
+    for i in (0, 127, 128, 255):
+        osc, op = viterbi_path_oracle(hmm, seqs[i])
+        assert almost_equal_vec(got[i][0], osc)
+        assert np.array_equal(got[i][1], op)
+
+
 def test_bucketed_path_decode_matches_oracle():
     hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
     fd = _fused_for(hmm)
