@@ -1,0 +1,125 @@
+"""Ragged-serving benchmark: bucketed vs whole-batch decode of a
+length-skewed workload.
+
+No reference analog — the reference decodes sequences serially
+(`bench_Viterbi.h:53-56`), so raggedness costs it nothing and it measures
+nothing about it. A batched TPU decoder pays the global max length for
+every lane unless it buckets; this benchmark quantifies that on a real
+length profile (default: covid-19, 38-7,096 symbols, replicated to fill
+the lane budget).
+
+Columns (`.dat` TSV, one row per model):
+- ``whole_e2e`` / ``bucket_e2e``: `decode_batch` wall ms including
+  host↔device transfers.
+- ``whole_compute`` / ``bucket_compute``: pre-staged decode ms — batches
+  staged on device, all calls enqueued, one probe drain (the tunnel-safe
+  pattern; distinct inputs per rep because the runtime memoizes repeats).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from spec_viterbi_tpu.bench.harness import get_median, print_benchmarks_to_file_as_dat
+from spec_viterbi_tpu.io import read_emit_seq, read_hmm
+from spec_viterbi_tpu.ops.fused_pallas import FusedStructuredDecoder, fused_eligible
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+from spec_viterbi_tpu.utils.batching import bucket_plan
+
+HEADERS = (
+    "States",
+    "whole_e2e",
+    "bucket_e2e",
+    "whole_compute",
+    "bucket_compute",
+)
+
+
+def _workload(lens, emit_num, seed):
+    r = np.random.default_rng(seed)
+    return [r.integers(0, emit_num, size=t).astype(np.int32) for t in lens]
+
+
+def benchmark_ragged(
+    chmm_path: str,
+    ess_path: str,
+    copies: int = 32,
+    times_to_run: int = 3,
+    interpret: bool = False,
+):
+    """Returns ``(states_num, [whole_e2e, bucket_e2e, whole_comp,
+    bucket_comp])`` medians in ms."""
+    hmm = read_hmm(chmm_path)
+    sop = StructuredOperator.from_hmm(hmm)
+    if not fused_eligible(sop):
+        raise ValueError("ragged bench needs a fused-eligible model")
+    fd = FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=interpret,
+    )
+    lens = [len(s) for s in read_emit_seq(ess_path)] * copies
+
+    results = []
+    # end-to-end decode_batch (fresh host inputs per rep)
+    for bucketed in (False, True):
+        fd.decode_batch(_workload(lens, hmm.emit_num, 999), bucketed=bucketed)
+        times = []
+        for rep in range(times_to_run):
+            seqs = _workload(lens, hmm.emit_num, rep)
+            t0 = time.perf_counter()
+            fd.decode_batch(seqs, bucketed=bucketed)
+            times.append((time.perf_counter() - t0) * 1e3)
+        results.append(get_median(sorted(times)))
+
+    # pre-staged compute: distinct staged workloads per rep, one probe
+    for bucketed in (False, True):
+        reps = []
+        for rep in range(times_to_run):
+            seqs = _workload(lens, hmm.emit_num, 100 + rep)
+            if bucketed:
+                plan = bucket_plan([len(s) for s in seqs]) or [
+                    (list(range(len(seqs))), None)
+                ]
+                reps.append(
+                    [
+                        fd.prepare([seqs[i] for i in idx], t_pad=t)
+                        for idx, t in plan
+                    ]
+                )
+            else:
+                reps.append([fd.prepare(seqs)])
+        for st, ln, m in reps[0]:  # warm every shape
+            fd._jit_run(st, ln, masked=m)
+        st, ln, m = reps[0][0]
+        np.asarray(fd._jit_run(st, ln, masked=m)[:1, :1])
+        times = []
+        for hs in reps:
+            t0 = time.perf_counter()
+            last = None
+            for st, ln, m in hs:
+                last = fd._jit_run(st, ln, masked=m)
+            np.asarray(last[:1, :1])
+            times.append((time.perf_counter() - t0) * 1e3)
+        results.append(get_median(sorted(times)))
+    return hmm.states_num, results
+
+
+def benchmark_ragged_to_dat_file(
+    chmm_paths: list[str],
+    ess_path: str,
+    out_file: str,
+    copies: int = 32,
+    times_to_run: int = 3,
+) -> None:
+    bench: dict[int, list[float]] = {}
+    for path in chmm_paths:
+        states, row = benchmark_ragged(
+            path, ess_path, copies=copies, times_to_run=times_to_run
+        )
+        bench[states] = row
+        print(f"{path}: {['%.1f' % t for t in row]}", flush=True)
+    print_benchmarks_to_file_as_dat(out_file, HEADERS, bench)

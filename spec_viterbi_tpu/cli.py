@@ -109,6 +109,17 @@ def _cmd_decode(args) -> int:
     return 0
 
 
+def _cmd_bench_ragged(args) -> int:
+    from spec_viterbi_tpu.bench.bench_ragged import benchmark_ragged_to_dat_file
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    benchmark_ragged_to_dat_file(
+        [args.chmm], args.ess, args.out, copies=args.copies, times_to_run=args.times
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_bench_scaling(args) -> int:
     """DP scaling sweep: throughput and efficiency vs data-axis size.
 
@@ -270,6 +281,20 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--op-cache", action="store_true",
                    help="persist/load specialized operators (~/.cache)")
     d.set_defaults(fn=_cmd_decode)
+
+    rb = sub.add_parser(
+        "bench-ragged",
+        help="bucketed vs whole-batch decode of a length-skewed workload",
+    )
+    rb.add_argument("--chmm", default="/root/reference/chmm_files/2405.chmm")
+    rb.add_argument(
+        "--ess", default="/root/reference/ess_files/covid-19.ess"
+    )
+    rb.add_argument("--copies", type=int, default=32,
+                    help="replicate the dataset's length profile this many times")
+    rb.add_argument("--times", type=int, default=3)
+    rb.add_argument("--out", default="bench_out/Viterbi_ragged_bench.dat")
+    rb.set_defaults(fn=_cmd_bench_ragged)
 
     sc = sub.add_parser("bench-scaling", help="DP scaling sweep over mesh sizes")
     sc.add_argument("chmm")

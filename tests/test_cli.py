@@ -114,6 +114,34 @@ def test_cli_fasta_to_ess(tmp_path, capsys):
     assert len(seqs) == 2
 
 
+def test_bench_ragged_interpret(tmp_path):
+    from spec_viterbi_tpu.bench.bench_ragged import (
+        HEADERS,
+        benchmark_ragged,
+    )
+    from spec_viterbi_tpu.io import write_ess
+
+    rng = np.random.default_rng(2)
+    ess = str(tmp_path / "rag.ess")
+    write_ess(
+        [
+            rng.integers(0, 4, size=t).astype(np.int32)
+            for t in [4] * 10 + [30] * 2
+        ],
+        ess,
+    )
+    states, row = benchmark_ragged(
+        os.path.join(TEST_CHMMS, "3_test_chmm.chmm"),
+        ess,
+        copies=25,  # 300 lanes, skewed -> bucketing active
+        times_to_run=1,
+        interpret=True,
+    )
+    assert states == read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm")).states_num
+    assert len(row) == len(HEADERS) - 1
+    assert all(t > 0 for t in row)
+
+
 def test_cli_bench_writes_dat(tmp_path, capsys):
     ess = str(tmp_path / "mini.ess")
     assert cli.main(
