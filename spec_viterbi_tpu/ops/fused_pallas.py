@@ -28,6 +28,7 @@ Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -290,6 +291,13 @@ def _backtrace_kernel(src_ref, last_ref, path_ref, state_ref):
     path_ref[0] = prev
 
 
+class StreamState(NamedTuple):
+    """Resumable streaming-decode state: device carry + real lane count."""
+
+    carry: "jax.Array"  # [Np, B_pad], BIG-clamped score space
+    b_real: int
+
+
 class FusedStructuredDecoder:
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
@@ -342,6 +350,9 @@ class FusedStructuredDecoder:
         self._jit_run_path = jax.jit(
             self._run_path, static_argnames=("masked", "b_real")
         )
+        self._jit_begin = jax.jit(self._begin)
+        self._jit_feed = jax.jit(self._feed)
+        self._jit_extract = jax.jit(self._extract)
 
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
@@ -582,6 +593,69 @@ class FusedStructuredDecoder:
                     paths[row, : len(seqs[i])].astype(np.int32),
                 )
         return result
+
+    # ---- streaming decode: constant-memory carry over unbounded input ----
+    #
+    # The kernel's v0 input IS a resumable carry (the grid's t==0 step
+    # seeds the VMEM accumulator from it), so decoding composes over
+    # chunks: scores(concat(c1, c2)) == feed(feed(begin(o0), rest(c1)), c2).
+    # Memory is O(Np·B) regardless of total length — no [T, B] tensor ever
+    # materializes. No reference analog (run_Viterbi takes the full
+    # sequence, Viterbi_impl.h:8); this is the serving/long-context form.
+
+    def stream_begin(self, first_symbols: np.ndarray) -> "StreamState":
+        """[B] first symbols → streaming state (device carry [Np, B_pad])."""
+        syms = validate_obs_seq(first_symbols, self.emit_num)
+        if len(syms) == 0:
+            raise ValueError("cannot stream an empty lane set")
+        return StreamState(self._jit_begin(jnp.asarray(syms)), len(syms))
+
+    def stream_feed(self, state: "StreamState", chunk: np.ndarray) -> "StreamState":
+        """Advance the carry by a [T_c, B] block of symbols (uniform lanes;
+        per-lane raggedness is the batch API's job, not streaming's)."""
+        chunk = np.asarray(chunk, dtype=np.int32)
+        if chunk.ndim != 2 or chunk.shape[1] != state.b_real:
+            raise ValueError(
+                f"chunk must be [T_c, {state.b_real}], got {chunk.shape}"
+            )
+        validate_obs_seq(chunk.reshape(-1), self.emit_num)
+        b_pad = state.carry.shape[1]
+        if b_pad != chunk.shape[1]:  # padding lanes see symbol 0 — discarded
+            chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
+        return StreamState(
+            self._jit_feed(state.carry, jnp.asarray(chunk)), state.b_real
+        )
+
+    def stream_scores(self, state: "StreamState") -> np.ndarray:
+        """Extract current [B, Np] score vectors (+inf restored); the
+        state stays valid — peeking mid-stream is allowed."""
+        return np.asarray(self._jit_extract(state.carry))[: state.b_real]
+
+    def _begin(self, syms):
+        b = syms.shape[0]
+        b_pad = ((b + BB - 1) // BB) * BB
+        syms = jnp.pad(syms, (0, b_pad - b))
+        return self.em_clamped[:, :].take(syms, axis=1) + self.pi[:, None]
+
+    def _feed(self, carry, chunk):
+        b = carry.shape[1]
+        obs = chunk[:, None, :]  # [T_c, 1, B]
+        t_steps = obs.shape[0]
+        unroll = self.unroll if b % BB == 0 else 1
+        chunks, tail = divmod(t_steps, unroll)
+        lengths = jnp.zeros((1, b), jnp.int32)  # unused when masked=False
+        out = carry
+        if chunks:
+            out = self._pallas(out, obs[: chunks * unroll], lengths, False, unroll, 0)
+        if tail:
+            out = self._pallas(
+                out, obs[chunks * unroll :], lengths, False, tail, chunks * unroll
+            )
+        return out
+
+    def _extract(self, carry):
+        out = jnp.where(carry >= BIG_THRESHOLD, jnp.inf, carry).T
+        return out[:, : self.states_num]
 
     def prepare(self, seqs: list[np.ndarray], t_pad: int | None = None):
         """Pad/transfer a batch once; returns (seqs_t, lengths, masked).

@@ -1,0 +1,87 @@
+"""Streaming decode: chunked feeds must reproduce whole-sequence scores.
+
+The carry is the kernel's v0 seed, so decode composes over chunks with
+IDENTICAL float order to the one-shot batched call — equality is exact,
+not ±1.0. No reference analog (`run_Viterbi` takes the full sequence,
+`Viterbi_impl.h:8`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import CHMM_DIR, TEST_CHMMS
+
+from spec_viterbi_tpu.io import read_hmm
+from spec_viterbi_tpu.models.oracle import viterbi_scores_oracle
+from spec_viterbi_tpu.hmm import almost_equal_vec
+from spec_viterbi_tpu.ops.fused_pallas import FusedStructuredDecoder
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+
+def _fused_for(hmm):
+    sop = StructuredOperator.from_hmm(hmm)
+    return FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+    )
+
+
+@pytest.mark.parametrize("splits", [[1], [40, 1, 19], [7, 13, 23, 17]])
+def test_stream_matches_batch(splits):
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(13)
+    t = 1 + sum(splits)
+    b = 5  # non-multiple of 128: lane padding handled inside
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for _ in range(b)]
+    block = np.stack(seqs, axis=1)  # [T, B]
+
+    state = fd.stream_begin(block[0])
+    pos = 1
+    for w in splits:
+        state = fd.stream_feed(state, block[pos : pos + w])
+        pos += w
+    got = fd.stream_scores(state)
+
+    want = fd.decode_batch(seqs, bucketed=False)
+    for g, w in zip(got, want):
+        assert np.array_equal(
+            np.nan_to_num(g, posinf=-1), np.nan_to_num(w, posinf=-1)
+        )
+    # and vs the oracle (fuzzy, reference semantics)
+    assert almost_equal_vec(got[0], viterbi_scores_oracle(hmm, seqs[0]))
+
+
+def test_stream_peek_and_continue():
+    """stream_scores mid-stream must not perturb the carry."""
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(14)
+    block = rng.integers(0, hmm.emit_num, size=(30, 3)).astype(np.int32)
+    state = fd.stream_begin(block[0])
+    state = fd.stream_feed(state, block[1:11])
+    mid = fd.stream_scores(state)
+    seqs10 = [block[:11, i] for i in range(3)]
+    for g, w in zip(mid, fd.decode_batch(seqs10, bucketed=False)):
+        assert np.array_equal(np.nan_to_num(g, posinf=-1), np.nan_to_num(w, posinf=-1))
+    state = fd.stream_feed(state, block[11:])
+    final = fd.stream_scores(state)
+    seqs = [block[:, i] for i in range(3)]
+    for g, w in zip(final, fd.decode_batch(seqs, bucketed=False)):
+        assert np.array_equal(np.nan_to_num(g, posinf=-1), np.nan_to_num(w, posinf=-1))
+
+
+def test_stream_validation():
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    state = fd.stream_begin(np.array([0, 1], dtype=np.int32))
+    with pytest.raises(ValueError):
+        fd.stream_feed(state, np.zeros((4, 3), np.int32))  # wrong lane count
+    with pytest.raises(ValueError):
+        fd.stream_feed(state, np.full((2, 2), 99, np.int32))  # bad symbol
+    with pytest.raises(ValueError):
+        fd.stream_begin(np.array([], dtype=np.int32))
