@@ -64,22 +64,29 @@ def benchmark_ragged(
     lens = [len(s) for s in read_emit_seq(ess_path)] * copies
 
     results = []
-    # end-to-end decode_batch (fresh host inputs per rep)
+    # end-to-end decode_batch (fresh host inputs per rep; seeds disjoint
+    # BETWEEN the whole/bucketed variants too — when bucket_plan returns
+    # None the bucketed variant issues the identical computation, and the
+    # axon runtime memoizes identical repeats, which would make the bucket
+    # columns dispatch-only replays)
     for bucketed in (False, True):
-        fd.decode_batch(_workload(lens, hmm.emit_num, 999), bucketed=bucketed)
+        voff = 5000 if bucketed else 0
+        fd.decode_batch(_workload(lens, hmm.emit_num, 999 + voff), bucketed=bucketed)
         times = []
         for rep in range(times_to_run):
-            seqs = _workload(lens, hmm.emit_num, rep)
+            seqs = _workload(lens, hmm.emit_num, rep + voff)
             t0 = time.perf_counter()
             fd.decode_batch(seqs, bucketed=bucketed)
             times.append((time.perf_counter() - t0) * 1e3)
         results.append(get_median(sorted(times)))
 
-    # pre-staged compute: distinct staged workloads per rep, one probe
+    # pre-staged compute: distinct staged workloads per rep AND variant,
+    # one probe
     for bucketed in (False, True):
+        voff = 5000 if bucketed else 0
         reps = []
         for rep in range(times_to_run):
-            seqs = _workload(lens, hmm.emit_num, 100 + rep)
+            seqs = _workload(lens, hmm.emit_num, 100 + rep + voff)
             if bucketed:
                 plan = bucket_plan([len(s) for s in seqs]) or [
                     (list(range(len(seqs))), None)

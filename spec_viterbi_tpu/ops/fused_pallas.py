@@ -352,7 +352,7 @@ class FusedStructuredDecoder:
         )
         self._jit_begin = jax.jit(self._begin)
         self._jit_feed = jax.jit(self._feed)
-        self._jit_extract = jax.jit(self._extract)
+        self._jit_extract = jax.jit(self._extract, static_argnames=("b_real",))
 
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
@@ -612,24 +612,44 @@ class FusedStructuredDecoder:
 
     def stream_feed(self, state: "StreamState", chunk: np.ndarray) -> "StreamState":
         """Advance the carry by a [T_c, B] block of symbols (uniform lanes;
-        per-lane raggedness is the batch API's job, not streaming's)."""
+        per-lane raggedness is the batch API's job, not streaming's).
+
+        The chunk is padded to the ``quantize_t`` length grid and run with
+        the masked kernel (padding steps freeze the carry — bit-identical
+        to the unpadded run), so arbitrary arriving chunk sizes compile at
+        most ~2 kernel shapes per octave instead of one per distinct
+        ``T_c`` (a fresh shape is a 30-200 s remote compile on a tunneled
+        deployment)."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
         chunk = np.asarray(chunk, dtype=np.int32)
         if chunk.ndim != 2 or chunk.shape[1] != state.b_real:
             raise ValueError(
                 f"chunk must be [T_c, {state.b_real}], got {chunk.shape}"
             )
+        t_c = chunk.shape[0]
+        if t_c == 0:
+            return state
         validate_obs_seq(chunk.reshape(-1), self.emit_num)
         b_pad = state.carry.shape[1]
         if b_pad != chunk.shape[1]:  # padding lanes see symbol 0 — discarded
             chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
+        t_q = quantize_t(t_c)
+        if t_q != t_c:  # padding steps are masked off below
+            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
+        # masked keep-condition is (step + 1) < lengths (the batch path's
+        # obs starts at symbol 1); chunk steps are absolute, so t_c + 1
+        # applies exactly steps 0..t_c-1 and freezes the quantization pad
+        lengths = jnp.full((1, b_pad), t_c + 1, jnp.int32)
         return StreamState(
-            self._jit_feed(state.carry, jnp.asarray(chunk)), state.b_real
+            self._jit_feed(state.carry, jnp.asarray(chunk), lengths),
+            state.b_real,
         )
 
     def stream_scores(self, state: "StreamState") -> np.ndarray:
         """Extract current [B, Np] score vectors (+inf restored); the
         state stays valid — peeking mid-stream is allowed."""
-        return np.asarray(self._jit_extract(state.carry))[: state.b_real]
+        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
 
     def _begin(self, syms):
         b = syms.shape[0]
@@ -637,24 +657,25 @@ class FusedStructuredDecoder:
         syms = jnp.pad(syms, (0, b_pad - b))
         return self.em_clamped[:, :].take(syms, axis=1) + self.pi[:, None]
 
-    def _feed(self, carry, chunk):
+    def _feed(self, carry, chunk, lengths):
         b = carry.shape[1]
-        obs = chunk[:, None, :]  # [T_c, 1, B]
+        obs = chunk[:, None, :]  # [T_q, 1, B]
         t_steps = obs.shape[0]
         unroll = self.unroll if b % BB == 0 else 1
         chunks, tail = divmod(t_steps, unroll)
-        lengths = jnp.zeros((1, b), jnp.int32)  # unused when masked=False
         out = carry
         if chunks:
-            out = self._pallas(out, obs[: chunks * unroll], lengths, False, unroll, 0)
+            out = self._pallas(out, obs[: chunks * unroll], lengths, True, unroll, 0)
         if tail:
             out = self._pallas(
-                out, obs[chunks * unroll :], lengths, False, tail, chunks * unroll
+                out, obs[chunks * unroll :], lengths, True, tail, chunks * unroll
             )
         return out
 
-    def _extract(self, carry):
+    def _extract(self, carry, b_real: int | None = None):
         out = jnp.where(carry >= BIG_THRESHOLD, jnp.inf, carry).T
+        if b_real is not None:  # slice padding lanes off before any D2H
+            out = out[:b_real]
         return out[:, : self.states_num]
 
     def prepare(self, seqs: list[np.ndarray], t_pad: int | None = None):

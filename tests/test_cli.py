@@ -121,19 +121,25 @@ def test_bench_ragged_interpret(tmp_path):
     )
     from spec_viterbi_tpu.io import write_ess
 
+    from spec_viterbi_tpu.utils.batching import bucket_plan
+
     rng = np.random.default_rng(2)
     ess = str(tmp_path / "rag.ess")
+    lens = [4] * 10 + [150] * 2
     write_ess(
-        [
-            rng.integers(0, 4, size=t).astype(np.int32)
-            for t in [4] * 10 + [30] * 2
-        ],
+        [rng.integers(0, 4, size=t).astype(np.int32) for t in lens],
         ess,
     )
+    # 300 lanes, 50 of them 150-symbol: quantizes into a 192-step bucket
+    # plus a 64-step bucket — the multi-bucket branch really runs (a
+    # workload whose lengths all quantize to the 64-grid minimum would
+    # silently fall back to the whole-batch path)
+    plan = bucket_plan(lens * 25)
+    assert plan is not None and len(plan) == 2
     states, row = benchmark_ragged(
         os.path.join(TEST_CHMMS, "3_test_chmm.chmm"),
         ess,
-        copies=25,  # 300 lanes, skewed -> bucketing active
+        copies=25,
         times_to_run=1,
         interpret=True,
     )

@@ -5,7 +5,9 @@ The reference's correctness oracle: every backend agrees with every other,
 spec agrees with non-spec, on production models × the ``emit_3_3500_20``
 dataset. Here the "backends" are the framework's execution paths:
 
-  non-spec:  dense XLA, structured XLA, NumPy oracle
+  non-spec:  dense XLA, structured XLA, NumPy oracle, streaming (chunked
+             fused kernel; default run only — interpret mode is too slow
+             for the full sweep)
   spec:      levels 1 and 2 (GraphBLAS runs L1+L2, GPU backends L1 —
              ``test_semantic_equality.cpp:45-56``)
 
@@ -39,6 +41,38 @@ MODELS = (
     else ["100.chmm", "500.chmm", "1200.chmm"]
 )
 SEQ_TRUNC = None if FULL else 160
+
+
+_STREAM_DECODERS: dict[str, object] = {}
+
+
+def _stream_decode(hmm, seq, width: int = 37):
+    """Decode one sequence through stream_begin/feed/scores (1 lane)."""
+    import jax
+
+    from spec_viterbi_tpu.ops.fused_pallas import (
+        FusedStructuredDecoder,
+        fused_eligible,
+    )
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    fd = _STREAM_DECODERS.get(hmm.fingerprint())
+    if fd is None:
+        sop = StructuredOperator.from_hmm(hmm)
+        assert fused_eligible(sop)  # holds for the whole production corpus
+        fd = FusedStructuredDecoder(
+            sop,
+            hmm.emission_matrix(pad_to=sop.n),
+            hmm.start_vector(pad_to=sop.n),
+            interpret=jax.default_backend() != "tpu",
+        )
+        _STREAM_DECODERS.clear()  # one cached decoder is enough
+        _STREAM_DECODERS[hmm.fingerprint()] = fd
+    state = fd.stream_begin(seq[:1])
+    block = np.asarray(seq, np.int32)[:, None]  # [T, 1 lane]
+    for pos in range(1, len(seq), width):
+        state = fd.stream_feed(state, block[pos : pos + width])
+    return fd.stream_scores(state)[0]
 
 
 @pytest.fixture(scope="module")
@@ -82,6 +116,12 @@ def test_all_paths_agree(model, sequences):
         results["spec_struct_L2_batched"] = spec_impls[
             "spec_struct_L2"
         ].run_spec_batch([seq])[0]
+        if not FULL:
+            # streaming path (fused kernel in interpret mode off-TPU; too
+            # slow for the FULL sweep — hardware streaming is covered by
+            # tests/test_streaming.py and the TPU verify drive). Uneven
+            # 37-symbol chunks exercise the quantized masked feed.
+            results["streaming"] = _stream_decode(hmm, seq)
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))
