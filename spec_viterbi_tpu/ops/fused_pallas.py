@@ -298,6 +298,20 @@ class StreamState(NamedTuple):
     b_real: int
 
 
+class PathStreamState(NamedTuple):
+    """Streaming exact-path state: carry + per-chunk checkpoints.
+
+    ``checkpoints[k]`` is the device carry at chunk ``k``'s start (O(Np·B)
+    each); ``chunks[k]`` holds chunk ``k``'s symbols on the HOST (the
+    symbols must be retained anyway to rematerialize backpointers — the
+    device never holds more than one chunk's [T_c, Np, B] tensor)."""
+
+    carry: "jax.Array"  # [Np, B_pad]
+    b_real: int
+    checkpoints: tuple  # tuple of [Np, B_pad] device carries
+    chunks: tuple  # tuple of host int arrays [T_c, B_pad]
+
+
 class FusedStructuredDecoder:
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
@@ -353,6 +367,10 @@ class FusedStructuredDecoder:
         self._jit_begin = jax.jit(self._begin)
         self._jit_feed = jax.jit(self._feed)
         self._jit_extract = jax.jit(self._extract, static_argnames=("b_real",))
+        self._jit_last = jax.jit(self._last_state)
+        self._jit_path_block = jax.jit(
+            self._path_block, static_argnames=("b_real",)
+        )
 
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
@@ -620,36 +638,208 @@ class FusedStructuredDecoder:
         most ~2 kernel shapes per octave instead of one per distinct
         ``T_c`` (a fresh shape is a 30-200 s remote compile on a tunneled
         deployment)."""
-        from spec_viterbi_tpu.utils.batching import quantize_t
+        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
+        if prep is None:
+            return state
+        chunk, t_c = prep
+        return StreamState(
+            self._feed_quantized(state.carry, chunk, t_c), state.b_real
+        )
 
+    def _prep_stream_chunk(self, carry, b_real: int, chunk):
+        """Validate + lane-pad a streaming chunk → ([T_c, B_pad], t_c)."""
         chunk = np.asarray(chunk, dtype=np.int32)
-        if chunk.ndim != 2 or chunk.shape[1] != state.b_real:
-            raise ValueError(
-                f"chunk must be [T_c, {state.b_real}], got {chunk.shape}"
-            )
+        if chunk.ndim != 2 or chunk.shape[1] != b_real:
+            raise ValueError(f"chunk must be [T_c, {b_real}], got {chunk.shape}")
         t_c = chunk.shape[0]
         if t_c == 0:
-            return state
+            return None
         validate_obs_seq(chunk.reshape(-1), self.emit_num)
-        b_pad = state.carry.shape[1]
+        b_pad = carry.shape[1]
         if b_pad != chunk.shape[1]:  # padding lanes see symbol 0 — discarded
             chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
+        return chunk, t_c
+
+    def _feed_quantized(self, carry, chunk, t_c: int):
+        """Advance the carry by a lane-padded [t_c, B_pad] chunk."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
         t_q = quantize_t(t_c)
         if t_q != t_c:  # padding steps are masked off below
             chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
         # masked keep-condition is (step + 1) < lengths (the batch path's
         # obs starts at symbol 1); chunk steps are absolute, so t_c + 1
         # applies exactly steps 0..t_c-1 and freezes the quantization pad
-        lengths = jnp.full((1, b_pad), t_c + 1, jnp.int32)
-        return StreamState(
-            self._jit_feed(state.carry, jnp.asarray(chunk), lengths),
-            state.b_real,
-        )
+        lengths = jnp.full((1, chunk.shape[1]), t_c + 1, jnp.int32)
+        return self._jit_feed(carry, jnp.asarray(chunk), lengths)
 
     def stream_scores(self, state: "StreamState") -> np.ndarray:
         """Extract current [B, Np] score vectors (+inf restored); the
         state stays valid — peeking mid-stream is allowed."""
         return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
+
+    # ---- streaming EXACT-PATH decode: checkpoint + rematerialize ----
+    #
+    # Exact full-path output needs every step's backpointer, but one
+    # device-resident [T, Np, B] int16 tensor caps T at the HBM budget
+    # (MAX_PATH_BYTES). Streaming instead checkpoints the O(Np·B) carry at
+    # each chunk boundary during the forward pass (scores kernel only — no
+    # backpointers), then ``finalize`` re-runs the path kernel one chunk
+    # at a time in REVERSE, backtracing across chunk boundaries. Device
+    # memory stays O(chunk) regardless of total length; total device work
+    # is 2× the forward pass — the jax.checkpoint/rematerialization trade
+    # applied to Viterbi backtrace. No reference analog (the reference has
+    # no backtrace at all, Viterbi_impl.h:8-9); paths are bit-identical to
+    # the one-shot path kernel and the NumPy oracle.
+
+    def stream_begin_path(self, first_symbols: np.ndarray) -> "PathStreamState":
+        """[B] first symbols → path-streaming state."""
+        if self.n > np.iinfo(np.int16).max:
+            raise ValueError("path streaming needs int16-addressable states")
+        syms = validate_obs_seq(first_symbols, self.emit_num)
+        if len(syms) == 0:
+            raise ValueError("cannot stream an empty lane set")
+        return PathStreamState(self._jit_begin(jnp.asarray(syms)), len(syms), (), ())
+
+    def stream_feed_path(
+        self, state: "PathStreamState", chunk: np.ndarray
+    ) -> "PathStreamState":
+        """Advance by a [T_c, B] block, checkpointing the pre-chunk carry.
+
+        The forward pass runs the cheap scores kernel (identical carry
+        math to the path kernel); backpointers for this chunk only
+        materialize during ``stream_path_finalize``. The chunk's quantized
+        length must fit the single-call backpointer budget
+        (``path_supported``) since finalize re-runs it as one path call."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
+        if prep is None:
+            return state
+        chunk, t_c = prep
+        b_pad = chunk.shape[1]
+        t_q = quantize_t(t_c)
+        if not self.path_supported(t_q + 1, batch=b_pad):
+            raise ValueError(
+                f"path chunk of {t_c} symbols ({t_q} quantized) exceeds the "
+                f"backpointer budget at {b_pad} lanes; feed smaller chunks"
+            )
+        return PathStreamState(
+            self._feed_quantized(state.carry, chunk, t_c),
+            state.b_real,
+            state.checkpoints + (state.carry,),
+            state.chunks + (chunk,),
+        )
+
+    def stream_path_scores(self, state: "PathStreamState") -> np.ndarray:
+        """Current [B, Np] scores (peeking is allowed; state stays valid)."""
+        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
+
+    def stream_path_finalize(
+        self, state: "PathStreamState"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, Np], paths [B, T_total]), T_total = 1 + Σ chunk.
+
+        Re-runs the path kernel per chunk in reverse order; the state is
+        not consumed — feeding may continue afterwards."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        scores = self.stream_path_scores(state)
+        boundary = self._jit_last(state.carry)  # [1, B_pad] int32
+        pieces = []  # device handles, enqueued back-to-back, reverse order
+        for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
+            t_c = chunk.shape[0]
+            t_q = quantize_t(t_c)
+            padded = (
+                np.pad(chunk, ((0, t_q - t_c), (0, 0))) if t_q != t_c else chunk
+            )
+            lengths = jnp.full((1, chunk.shape[1]), t_c + 1, jnp.int32)
+            piece, boundary = self._jit_path_block(
+                ckpt,
+                jnp.asarray(padded),
+                lengths,
+                boundary,
+                b_real=state.b_real,
+            )
+            pieces.append(np.asarray(piece)[:t_c].astype(np.int32))
+        first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
+        path = np.concatenate([first, *reversed(pieces)], axis=0)  # [T, B]
+        return scores, path.T
+
+    def _last_state(self, carry):
+        """Per-lane argmin end state with +inf restored (ties → lowest)."""
+        scores = jnp.where(carry >= BIG_THRESHOLD, jnp.inf, carry)
+        return jnp.argmin(scores, axis=0).astype(jnp.int32)[None, :]
+
+    def _path_block(self, carry, chunk, lengths, boundary, b_real: int):
+        """One finalize block: rematerialize backpointers, backtrace.
+
+        Returns (piece [T_q, b_real] int16 — states at positions
+        p+1..p+T_q relative to the chunk start p (entries past the real
+        chunk length repeat the boundary via identity pad pointers; the
+        caller slices [:t_c]) — and the new boundary rev[0] = state at
+        position p)."""
+        n = self.n
+        t_steps, b = chunk.shape
+        obs = chunk[:, None, :]  # [T_q, 1, B]
+        kernel = _make_path_kernel(self.sop, True)
+        _, src = pl.pallas_call(
+            kernel,
+            grid=(b // BB, t_steps),
+            in_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.rv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n, self.cv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, n, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, b), jnp.float32),
+                jax.ShapeDtypeStruct((t_steps, n, b), jnp.int16),
+            ],
+            interpret=self.interpret,
+        )(carry, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
+
+        t_rev = t_steps
+        rev = pl.pallas_call(
+            _backtrace_kernel,
+            grid=(b // BB, t_steps),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n, BB),
+                    lambda i, t: (t_rev - 1 - t, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, BB), lambda i, t: (t_rev - 1 - t, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((t_steps, 1, b), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
+            interpret=self.interpret,
+        )(src, boundary)[:, 0, :]  # [T_q, B] states at positions p..p+T_q-1
+        piece = jnp.concatenate([rev[1:], boundary], axis=0)  # p+1..p+T_q
+        return piece[:, :b_real].astype(jnp.int16), rev[0:1]
 
     def _begin(self, syms):
         b = syms.shape[0]

@@ -75,6 +75,61 @@ def test_stream_peek_and_continue():
         assert np.array_equal(np.nan_to_num(g, posinf=-1), np.nan_to_num(w, posinf=-1))
 
 
+@pytest.mark.parametrize("splits", [[59], [7, 13, 23, 17]])
+def test_stream_path_matches_one_shot_and_oracle(splits):
+    """Checkpoint/rematerialize path streaming: exact paths, exact scores."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(21)
+    t = 1 + sum(splits)
+    b = 3
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for _ in range(b)]
+    block = np.stack(seqs, axis=1)
+
+    state = fd.stream_begin_path(block[0])
+    pos = 1
+    for w in splits:
+        state = fd.stream_feed_path(state, block[pos : pos + w])
+        pos += w
+    scores, paths = fd.stream_path_finalize(state)
+
+    one_shot = fd.decode_path_batch(seqs)
+    for i in range(b):
+        os_scores, os_path = one_shot[i]
+        assert np.array_equal(
+            np.nan_to_num(scores[i, : hmm.states_num], posinf=-1),
+            np.nan_to_num(os_scores[: hmm.states_num], posinf=-1),
+        ), i
+        assert np.array_equal(paths[i], os_path), i
+        osc, opath = viterbi_path_oracle(hmm, seqs[i])
+        assert np.array_equal(paths[i], opath), i
+
+    # finalize does not consume the state — feeding continues
+    more = rng.integers(0, hmm.emit_num, size=(5, b)).astype(np.int32)
+    state = fd.stream_feed_path(state, more)
+    scores2, paths2 = fd.stream_path_finalize(state)
+    full = [np.concatenate([seqs[i], more[:, i]]) for i in range(b)]
+    for i in range(b):
+        _, opath = viterbi_path_oracle(hmm, full[i])
+        assert np.array_equal(paths2[i], opath), i
+
+
+def test_stream_path_single_symbol():
+    """begin-only stream: path is just the argmin end state."""
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    state = fd.stream_begin_path(np.array([0, 1], dtype=np.int32))
+    scores, paths = fd.stream_path_finalize(state)
+    assert paths.shape == (2, 1)
+    for i, s in enumerate([np.array([0]), np.array([1])]):
+        _, opath = viterbi_path_oracle(hmm, s.astype(np.int32))
+        assert np.array_equal(paths[i], opath)
+
+
 def test_stream_validation():
     hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
     fd = _fused_for(hmm)
