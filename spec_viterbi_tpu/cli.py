@@ -98,12 +98,73 @@ def _cmd_decode(args) -> int:
             head = " ".join(f"{x:.4f}" for x in v[:8])
             print(f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] min={np.min(v):.4f}")
         return 0
+    if args.stream_chunk:
+        return _decode_streaming(hmm, seqs, args)
     dec = ViterbiDecoder(hmm, mode=args.mode)
     if args.path:
         for i, (scores, path) in enumerate(dec.decode_path_batch(seqs)):
             print(f"seq {i}: best={np.min(scores):.4f} path={path.tolist()}")
     else:
         for i, v in enumerate(dec.decode_batch(seqs)):
+            head = " ".join(f"{x:.4f}" for x in v[:8])
+            print(f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] min={np.min(v):.4f}")
+    return 0
+
+
+def _decode_streaming(hmm, seqs, args) -> int:
+    """Decode via the constant-memory streaming API in --stream-chunk
+    symbol blocks (scores, or exact paths via checkpoint/rematerialize).
+
+    Streaming lanes are uniform-length, so sequences group by exact
+    length; raggedness across groups costs separate streams, not padding."""
+    import jax
+
+    from spec_viterbi_tpu.ops.fused_pallas import (
+        FusedStructuredDecoder,
+        fused_eligible,
+    )
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    sop = StructuredOperator.from_hmm(hmm)
+    if not fused_eligible(sop):
+        print(
+            "model is not fused-eligible; --stream-chunk unavailable",
+            file=sys.stderr,
+        )
+        return 2
+    fd = FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=jax.default_backend() != "tpu",
+    )
+    w = args.stream_chunk
+    scores_out: list = [None] * len(seqs)
+    paths_out: list = [None] * len(seqs)
+    by_len: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        by_len.setdefault(len(s), []).append(i)
+    for t, idxs in sorted(by_len.items()):
+        block = np.stack([seqs[i] for i in idxs], axis=1).astype(np.int32)
+        if args.path:
+            st = fd.stream_begin_path(block[0])
+            for pos in range(1, t, w):
+                st = fd.stream_feed_path(st, block[pos : pos + w])
+            scores, paths = fd.stream_path_finalize(st)
+            for j, i in enumerate(idxs):
+                scores_out[i] = scores[j, : hmm.states_num]
+                paths_out[i] = paths[j]
+        else:
+            st = fd.stream_begin(block[0])
+            for pos in range(1, t, w):
+                st = fd.stream_feed(st, block[pos : pos + w])
+            scores = fd.stream_scores(st)
+            for j, i in enumerate(idxs):
+                scores_out[i] = scores[j, : hmm.states_num]
+    for i, v in enumerate(scores_out):
+        if args.path:
+            print(f"seq {i}: best={np.min(v):.4f} path={paths_out[i].tolist()}")
+        else:
             head = " ".join(f"{x:.4f}" for x in v[:8])
             print(f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] min={np.min(v):.4f}")
     return 0
@@ -280,6 +341,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode via level-L structured specialization")
     d.add_argument("--op-cache", action="store_true",
                    help="persist/load specialized operators (~/.cache)")
+    d.add_argument("--stream-chunk", type=int, default=0,
+                   help="decode via the streaming API in chunks of N "
+                        "symbols (constant device memory over any length)")
     d.set_defaults(fn=_cmd_decode)
 
     rb = sub.add_parser(

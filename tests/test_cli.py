@@ -51,6 +51,24 @@ def test_cli_decode_path(capsys):
         assert p == op.tolist()
 
 
+def test_cli_decode_stream_chunk(capsys):
+    """--stream-chunk decode (scores + exact paths) matches the oracle."""
+    assert cli.main(["decode", CHMM0, ESS0, "--stream-chunk", "3"]) == 0
+    out = capsys.readouterr().out
+    hmm = read_hmm(CHMM0)
+    seqs = read_emit_seq(ESS0)
+    for m, s in zip(_mins(out), seqs):
+        assert abs(m - float(np.min(viterbi_scores_oracle(hmm, s)))) <= 1.0
+
+    assert cli.main(["decode", CHMM0, ESS0, "--stream-chunk", "3", "--path"]) == 0
+    out = capsys.readouterr().out
+    paths = [eval(m) for m in re.findall(r"path=(\[[0-9, ]*\])", out)]
+    assert len(paths) == len(seqs)
+    for p, s in zip(paths, seqs):
+        _, op = viterbi_path_oracle(hmm, s)
+        assert p == op.tolist()
+
+
 def test_cli_decode_spec_level(capsys):
     assert cli.main(["decode", CHMM0, ESS0, "--spec-level", "2"]) == 0
     out = capsys.readouterr().out
