@@ -36,6 +36,50 @@ def _random_hmm(rng, states, emit, deg, zero_frac=0.0):
     )
 
 
+def _random_structured_hmm(rng, states, emit):
+    """Random model the structured decomposition fully covers: full
+    diagonals at random offsets (incl. negatives/self-loops), one dense
+    source row, one dense destination column, a few residual entries —
+    always fused-eligible by construction."""
+    entries: dict[tuple[int, int], float] = {}
+
+    def put(s, d):
+        entries[(s, d)] = float(rng.uniform(0.01, 1.0))
+
+    offsets = rng.choice([-2, -1, 0, 1, 2], size=int(rng.integers(1, 4)), replace=False)
+    for d in offsets:
+        for i in range(states):
+            if 0 <= i + d < states:
+                put(i, i + d)
+    r = int(rng.integers(0, states))
+    for j in range(states):
+        put(r, j)
+    c = int(rng.integers(0, states))
+    for i in range(states):
+        put(i, c)
+    for _ in range(int(rng.integers(0, 4))):
+        put(int(rng.integers(0, states)), int(rng.integers(0, states)))
+
+    rows = np.array([k[0] for k in entries], dtype=np.int64)
+    cols = np.array([k[1] for k in entries], dtype=np.int64)
+    probs = np.array(list(entries.values()))
+    em = rng.uniform(0.01, 1.0, size=(emit, states))
+    starts = rng.choice(states, size=max(1, states // 4), replace=False)
+    order = np.argsort(starts)
+    return HMM(
+        states_num=states,
+        emit_num=emit,
+        trans_rows=rows,
+        trans_cols=cols,
+        trans_probs=to_modified_prob_np(probs),
+        emissions=to_modified_prob_np(em),
+        start_probabilities_cols=np.sort(starts).astype(np.int64),
+        start_probabilities=to_modified_prob_np(
+            rng.uniform(0.01, 1.0, size=starts.size)[order]
+        ),
+    )
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_random_hmm_all_paths_agree(seed):
     rng = np.random.default_rng(seed)
@@ -62,6 +106,46 @@ def test_random_hmm_all_paths_agree(seed):
         spec = SpecializedViterbi(level=level)
         spec.spec_with(hmm)
         assert almost_equal_vec(spec.run_spec(seq), want), (seed, level)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_hmm_streaming_paths(seed):
+    """Streaming scores AND checkpoint/rematerialize paths vs the oracle
+    on random fused-eligible models (random chunk splits)."""
+    from spec_viterbi_tpu.ops.fused_pallas import (
+        FusedStructuredDecoder,
+        fused_eligible,
+    )
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    rng = np.random.default_rng(100 + seed)
+    hmm = _random_structured_hmm(
+        rng, int(rng.integers(6, 60)), int(rng.integers(2, 12))
+    )
+    sop = StructuredOperator.from_hmm(hmm)
+    assert fused_eligible(sop), seed  # generator guarantees eligibility
+    fd = FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+    )
+    t = int(rng.integers(2, 50))
+    b = int(rng.integers(1, 4))
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for _ in range(b)]
+    block = np.stack(seqs, axis=1)
+
+    state = fd.stream_begin_path(block[0])
+    pos = 1
+    while pos < t:
+        w = int(rng.integers(1, t - pos + 1))
+        state = fd.stream_feed_path(state, block[pos : pos + w])
+        pos += w
+    scores, paths = fd.stream_path_finalize(state)
+    for i in range(b):
+        want, opath = viterbi_path_oracle(hmm, seqs[i])
+        assert almost_equal_vec(scores[i, : hmm.states_num], want), (seed, i)
+        assert np.array_equal(paths[i], opath), (seed, i)
 
 
 def test_single_state_hmm():
