@@ -770,9 +770,15 @@ class FusedStructuredDecoder:
                 boundary,
                 b_real=state.b_real,
             )
-            pieces.append(np.asarray(piece)[:t_c].astype(np.int32))
+            pieces.append((piece, t_c))
+        # drain AFTER enqueueing every block: the boundary chain already
+        # serializes the device work; draining per block would add one
+        # tunnel round trip per chunk
         first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
-        path = np.concatenate([first, *reversed(pieces)], axis=0)  # [T, B]
+        path = np.concatenate(
+            [first, *[np.asarray(p)[:t_c].astype(np.int32) for p, t_c in reversed(pieces)]],
+            axis=0,
+        )  # [T, B]
         return scores, path.T
 
     def _last_state(self, carry):
