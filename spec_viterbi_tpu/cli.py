@@ -117,27 +117,13 @@ def _decode_streaming(hmm, seqs, args) -> int:
 
     Streaming lanes are uniform-length, so sequences group by exact
     length; raggedness across groups costs separate streams, not padding."""
-    import jax
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
 
-    from spec_viterbi_tpu.ops.fused_pallas import (
-        FusedStructuredDecoder,
-        fused_eligible,
-    )
-    from spec_viterbi_tpu.ops.structured import StructuredOperator
-
-    sop = StructuredOperator.from_hmm(hmm)
-    if not fused_eligible(sop):
-        print(
-            "model is not fused-eligible; --stream-chunk unavailable",
-            file=sys.stderr,
-        )
+    try:
+        fd = ViterbiDecoder(hmm, mode="structured").streaming()
+    except ValueError as exc:
+        print(f"--stream-chunk unavailable: {exc}", file=sys.stderr)
         return 2
-    fd = FusedStructuredDecoder(
-        sop,
-        hmm.emission_matrix(pad_to=sop.n),
-        hmm.start_vector(pad_to=sop.n),
-        interpret=jax.default_backend() != "tpu",
-    )
     w = args.stream_chunk
     scores_out: list = [None] * len(seqs)
     paths_out: list = [None] * len(seqs)

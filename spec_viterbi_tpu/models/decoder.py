@@ -300,6 +300,39 @@ class ViterbiDecoder:
             return self._fused.decode_path_batch(seqs)
         return [self.decode_path(s) for s in seqs]
 
+    def streaming(self, interpret: bool | None = None):
+        """The streaming decode engine for this model: ``stream_begin`` /
+        ``stream_feed`` / ``stream_scores`` for constant-memory scores over
+        unbounded input, and the ``stream_*_path`` family for exact paths
+        via checkpoint + rematerialize (long-context extension; the
+        reference requires whole sequences in memory, ``Viterbi_impl.h:8``).
+
+        Structured mode with a fused-eligible operator only. Off-TPU the
+        engine runs the kernels in interpret mode — functionally exact but
+        slow; pass ``interpret`` explicitly to override the default.
+        """
+        if self._fused is not None and interpret in (None, False):
+            return self._fused
+        if self.mode != "structured":
+            raise ValueError("streaming decode needs mode='structured'")
+        if not fused_pallas.fused_eligible(self._sop):
+            raise ValueError(
+                "operator too irregular for the fused streaming engine"
+            )
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        cached = getattr(self, "_stream_engine", None)
+        if cached is None or cached.interpret != interpret:
+            n = self._sop.n
+            cached = fused_pallas.FusedStructuredDecoder(
+                self._sop,
+                self.hmm.emission_matrix(pad_to=n),
+                self.hmm.start_vector(pad_to=n),
+                interpret=interpret,
+            )
+            self._stream_engine = cached
+        return cached
+
     def prepare_batch(self, seqs: list[np.ndarray]):
         """Pad and transfer a batch once; returns a device-side handle.
 

@@ -130,6 +130,29 @@ def test_stream_path_single_symbol():
         assert np.array_equal(paths[i], opath)
 
 
+def test_decoder_streaming_accessor():
+    """ViterbiDecoder.streaming() exposes the engine (interpret off-TPU)."""
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    dec = ViterbiDecoder(hmm, mode="structured")
+    fd = dec.streaming()
+    assert fd is dec.streaming()  # cached
+    rng = np.random.default_rng(3)
+    block = rng.integers(0, hmm.emit_num, size=(12, 2)).astype(np.int32)
+    st = fd.stream_begin(block[0])
+    st = fd.stream_feed(st, block[1:])
+    got = fd.stream_scores(st)
+    for i in range(2):
+        assert almost_equal_vec(
+            got[i, : hmm.states_num], viterbi_scores_oracle(hmm, block[:, i])
+        )
+
+    dense = ViterbiDecoder(hmm, mode="dense")
+    with pytest.raises(ValueError):
+        dense.streaming()
+
+
 def test_stream_validation():
     hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
     fd = _fused_for(hmm)
