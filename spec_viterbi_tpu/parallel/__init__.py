@@ -22,6 +22,7 @@ from spec_viterbi_tpu.parallel.sharded import (
     decode_tp,
     make_dp_tp_decode,
     make_fused_dp,
+    StreamDP,
     make_time_parallel_decode,
     make_tp_decode,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "decode_batch_dp_tp",
     "decode_path_batch_dp_fused",
     "make_fused_dp",
+    "StreamDP",
     "decode_time_parallel",
     "decode_tp",
     "make_dp_tp_decode",

@@ -186,6 +186,175 @@ def decode_path_batch_dp_fused(
     ]
 
 
+class StreamDP:
+    """DP-sharded streaming decode: the carry lives lane-sharded over
+    ``data``; every feed runs the fused kernels per shard with ZERO
+    collectives (the streaming analog of ``decode_batch_dp_fused``).
+
+    Mirrors the single-chip API of
+    :class:`~spec_viterbi_tpu.ops.fused_pallas.FusedStructuredDecoder`:
+    ``begin/feed/scores`` for constant-memory score streaming and
+    ``begin_path/feed_path/path_finalize`` for exact paths via
+    checkpoint + rematerialize. Bit-identical to the single-chip stream
+    (per-lane work only; sharding cannot reorder it).
+    """
+
+    def __init__(self, fd, mesh: Mesh):
+        from spec_viterbi_tpu.ops.fused_pallas import BB
+
+        self.fd = fd
+        self.mesh = mesh
+        self._d = mesh.shape[DATA_AXIS]
+        self._lane_mult = self._d * BB
+        self._sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+        def smap(body, in_specs, out_specs):
+            # check_vma=False as in make_fused_dp: collective-free bodies
+            return jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+            )
+
+        lane2 = P(None, DATA_AXIS)
+        self._begin_fn = smap(fd._begin, (P(DATA_AXIS),), lane2)
+        self._feed_fn = smap(fd._feed, (lane2, lane2, lane2), lane2)
+        self._extract_fn = smap(fd._extract, (lane2,), P(DATA_AXIS, None))
+        self._last_fn = smap(fd._last_state, (lane2,), lane2)
+        self._path_block_fn = smap(
+            lambda c, ch, ln, bd: fd._path_block(c, ch, ln, bd, b_real=None),
+            (lane2, lane2, lane2, lane2),
+            (lane2, lane2),
+        )
+
+    # ---- host staging -------------------------------------------------
+
+    def _put(self, arr):
+        return jax.device_put(arr, self._sh)
+
+    def _stage_prepped(self, chunk, t_c: int):
+        """T-quantize + upload an already lane-padded [t_c, B_pad] chunk."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        t_q = quantize_t(t_c)
+        if t_q != t_c:
+            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
+        lengths = np.full((1, chunk.shape[1]), t_c + 1, np.int32)
+        return (
+            self._put(chunk.astype(self.fd._sym_dtype)),
+            self._put(lengths),
+        )
+
+    def _stage_chunk(self, carry, b_real: int, chunk):
+        """Validate/lane-pad/T-quantize a chunk for the sharded feed."""
+        prep = self.fd._prep_stream_chunk(carry, b_real, chunk)
+        if prep is None:
+            return None
+        chunk, t_c = prep
+        return (*self._stage_prepped(chunk, t_c), t_c)
+
+    def _begin_state(self, first_symbols):
+        from spec_viterbi_tpu.hmm import validate_obs_seq
+
+        syms = validate_obs_seq(first_symbols, self.fd.emit_num)
+        if len(syms) == 0:
+            raise ValueError("cannot stream an empty lane set")
+        b_real = len(syms)
+        m = self._lane_mult
+        b_pad = ((b_real + m - 1) // m) * m
+        syms = np.pad(syms, (0, b_pad - b_real))
+        syms_d = jax.device_put(syms, NamedSharding(self.mesh, P(DATA_AXIS)))
+        return self._begin_fn(syms_d), b_real
+
+    # ---- scores streaming --------------------------------------------
+
+    def begin(self, first_symbols):
+        from spec_viterbi_tpu.ops.fused_pallas import StreamState
+
+        carry, b_real = self._begin_state(first_symbols)
+        return StreamState(carry, b_real)
+
+    def feed(self, state, chunk):
+        from spec_viterbi_tpu.ops.fused_pallas import StreamState
+
+        staged = self._stage_chunk(state.carry, state.b_real, chunk)
+        if staged is None:
+            return state
+        chunk_d, lengths_d, _ = staged
+        return StreamState(
+            self._feed_fn(state.carry, chunk_d, lengths_d), state.b_real
+        )
+
+    def scores(self, state) -> np.ndarray:
+        return np.asarray(self._extract_fn(state.carry))[: state.b_real]
+
+    # ---- exact-path streaming ----------------------------------------
+
+    def begin_path(self, first_symbols):
+        from spec_viterbi_tpu.ops.fused_pallas import PathStreamState
+
+        if self.fd.n > np.iinfo(np.int16).max:
+            raise ValueError("path streaming needs int16-addressable states")
+        carry, b_real = self._begin_state(first_symbols)
+        return PathStreamState(carry, b_real, (), ())
+
+    def feed_path(self, state, chunk):
+        from spec_viterbi_tpu.ops.fused_pallas import PathStreamState
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        prep = self.fd._prep_stream_chunk(state.carry, state.b_real, chunk)
+        if prep is None:
+            return state
+        chunk, t_c = prep
+        # per-shard budget: each device materializes its own bp block
+        if not self.fd.path_supported(
+            quantize_t(t_c) + 1, batch=chunk.shape[1] // self._d
+        ):
+            raise ValueError(
+                f"path chunk of {t_c} symbols exceeds the per-device "
+                f"backpointer budget; feed smaller chunks"
+            )
+        chunk_d, lengths_d = self._stage_prepped(chunk, t_c)
+        return PathStreamState(
+            self._feed_fn(state.carry, chunk_d, lengths_d),
+            state.b_real,
+            state.checkpoints + (state.carry,),
+            state.chunks + (chunk,),
+        )
+
+    def path_scores(self, state) -> np.ndarray:
+        return np.asarray(self._extract_fn(state.carry))[: state.b_real]
+
+    def path_finalize(self, state):
+        """→ (scores [B, Np], paths [B, T_total]); state not consumed."""
+        scores = self.path_scores(state)
+        boundary = self._last_fn(state.carry)
+        pieces = []
+        for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
+            t_c = chunk.shape[0]
+            chunk_d, lengths_d = self._stage_prepped(chunk, t_c)
+            piece, boundary = self._path_block_fn(
+                ckpt, chunk_d, lengths_d, boundary
+            )
+            pieces.append((piece, t_c))
+        first = np.asarray(boundary)[:, : state.b_real]
+        path = np.concatenate(
+            [
+                first,
+                *[
+                    np.asarray(p)[:t_c, : state.b_real].astype(np.int32)
+                    for p, t_c in reversed(pieces)
+                ],
+            ],
+            axis=0,
+        )
+        return scores, path.T
+
+
 # --------------------------------------------------------------------------
 # TP: state-sharded decode (shard_map, explicit all_gather per step)
 # --------------------------------------------------------------------------

@@ -130,6 +130,52 @@ def test_stream_path_single_symbol():
         assert np.array_equal(paths[i], opath)
 
 
+@pytest.mark.parametrize("d", [2, 4])
+def test_stream_dp_scores_match_single_chip(d):
+    """DP-sharded streaming is bit-identical to the single-chip stream."""
+    from spec_viterbi_tpu.parallel import StreamDP, make_mesh
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    sdp = StreamDP(fd, make_mesh(data=d))
+    rng = np.random.default_rng(41)
+    t, b = 30, 3
+    block = rng.integers(0, hmm.emit_num, size=(t, b)).astype(np.int32)
+
+    st_dp = sdp.begin(block[0])
+    st_1 = fd.stream_begin(block[0])
+    for pos in (1, 9, 22):
+        end = {1: 9, 9: 22, 22: t}[pos]
+        st_dp = sdp.feed(st_dp, block[pos:end])
+        st_1 = fd.stream_feed(st_1, block[pos:end])
+    got = sdp.scores(st_dp)
+    want = fd.stream_scores(st_1)
+    assert np.array_equal(
+        np.nan_to_num(got, posinf=-1), np.nan_to_num(want, posinf=-1)
+    )
+
+
+def test_stream_dp_paths_match_oracle():
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+    from spec_viterbi_tpu.parallel import StreamDP, make_mesh
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    sdp = StreamDP(fd, make_mesh(data=2))
+    rng = np.random.default_rng(43)
+    t, b = 41, 2
+    block = rng.integers(0, hmm.emit_num, size=(t, b)).astype(np.int32)
+    st = sdp.begin_path(block[0])
+    for pos, end in ((1, 18), (18, 41)):
+        st = sdp.feed_path(st, block[pos:end])
+    scores, paths = sdp.path_finalize(st)
+    assert paths.shape == (b, t)
+    for i in range(b):
+        want, opath = viterbi_path_oracle(hmm, block[:, i])
+        assert almost_equal_vec(scores[i, : hmm.states_num], want), i
+        assert np.array_equal(paths[i], opath), i
+
+
 def test_decoder_streaming_accessor():
     """ViterbiDecoder.streaming() exposes the engine (interpret off-TPU)."""
     from spec_viterbi_tpu.models.decoder import ViterbiDecoder
