@@ -18,12 +18,13 @@ Run on the TPU: python scripts/exp_streaming.py [--t 100001] [--chunk 3072]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spec_viterbi_tpu.io import read_hmm  # noqa: E402
 from spec_viterbi_tpu.ops.fused_pallas import (  # noqa: E402

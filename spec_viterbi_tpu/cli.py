@@ -119,34 +119,57 @@ def _decode_streaming(hmm, seqs, args) -> int:
     length; raggedness across groups costs separate streams, not padding."""
     from spec_viterbi_tpu.models.decoder import ViterbiDecoder
 
+    if args.mode not in ("auto", "structured"):
+        print(
+            f"--stream-chunk runs the structured streaming engine; "
+            f"--mode {args.mode} is incompatible",
+            file=sys.stderr,
+        )
+        return 2
+    w = args.stream_chunk
+    if w < 1:
+        print(f"--stream-chunk must be >= 1, got {w}", file=sys.stderr)
+        return 2
     try:
         fd = ViterbiDecoder(hmm, mode="structured").streaming()
     except ValueError as exc:
         print(f"--stream-chunk unavailable: {exc}", file=sys.stderr)
         return 2
-    w = args.stream_chunk
     scores_out: list = [None] * len(seqs)
     paths_out: list = [None] * len(seqs)
     by_len: dict[int, list[int]] = {}
     for i, s in enumerate(seqs):
         by_len.setdefault(len(s), []).append(i)
-    for t, idxs in sorted(by_len.items()):
-        block = np.stack([seqs[i] for i in idxs], axis=1).astype(np.int32)
-        if args.path:
-            st = fd.stream_begin_path(block[0])
-            for pos in range(1, t, w):
-                st = fd.stream_feed_path(st, block[pos : pos + w])
-            scores, paths = fd.stream_path_finalize(st)
-            for j, i in enumerate(idxs):
-                scores_out[i] = scores[j, : hmm.states_num]
-                paths_out[i] = paths[j]
-        else:
-            st = fd.stream_begin(block[0])
-            for pos in range(1, t, w):
-                st = fd.stream_feed(st, block[pos : pos + w])
-            scores = fd.stream_scores(st)
-            for j, i in enumerate(idxs):
-                scores_out[i] = scores[j, : hmm.states_num]
+    # bound each stream's lane width so large same-length groups cannot
+    # trip the per-call backpointer budget (paths) or HBM (scores)
+    lane_cap = 128 if args.path else 512
+    groups = [
+        idxs[k : k + lane_cap]
+        for _, idxs in sorted(by_len.items())
+        for k in range(0, len(idxs), lane_cap)
+    ]
+    try:
+        for idxs in groups:
+            t = len(seqs[idxs[0]])
+            block = np.stack([seqs[i] for i in idxs], axis=1).astype(np.int32)
+            if args.path:
+                st = fd.stream_begin_path(block[0])
+                for pos in range(1, t, w):
+                    st = fd.stream_feed_path(st, block[pos : pos + w])
+                scores, paths = fd.stream_path_finalize(st)
+                for j, i in enumerate(idxs):
+                    scores_out[i] = scores[j, : hmm.states_num]
+                    paths_out[i] = paths[j]
+            else:
+                st = fd.stream_begin(block[0])
+                for pos in range(1, t, w):
+                    st = fd.stream_feed(st, block[pos : pos + w])
+                scores = fd.stream_scores(st)
+                for j, i in enumerate(idxs):
+                    scores_out[i] = scores[j, : hmm.states_num]
+    except ValueError as exc:  # e.g. chunk exceeds the backpointer budget
+        print(f"streaming decode failed: {exc}", file=sys.stderr)
+        return 2
     for i, v in enumerate(scores_out):
         if args.path:
             print(f"seq {i}: best={np.min(v):.4f} path={paths_out[i].tolist()}")

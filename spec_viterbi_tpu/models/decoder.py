@@ -162,6 +162,7 @@ class ViterbiDecoder:
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
         self.hmm = hmm
+        self._use_pallas = use_pallas
 
         padded = pad_to_lane(hmm.states_num) if pad else hmm.states_num
         self._sop = None
@@ -311,6 +312,14 @@ class ViterbiDecoder:
         engine runs the kernels in interpret mode — functionally exact but
         slow; pass ``interpret`` explicitly to override the default.
         """
+        if self._use_pallas is False:
+            # an explicit pin means "cross-check on the XLA structured
+            # path"; silently handing back the forbidden kernel would
+            # defeat the pin
+            raise ValueError(
+                "streaming uses the fused Pallas engine, but this decoder "
+                "was constructed with use_pallas=False"
+            )
         if self._fused is not None and interpret in (None, False):
             return self._fused
         if self.mode != "structured":

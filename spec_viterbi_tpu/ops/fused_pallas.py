@@ -313,6 +313,38 @@ class PathStreamState(NamedTuple):
     chunks: tuple  # tuple of host int arrays [T_c, B_pad]
 
 
+def _run_path_finalize(state: "PathStreamState", extract, last, stage, block):
+    """Shared checkpoint-rematerialize finalize protocol (single-chip and
+    DP-sharded): ENQUEUE the score extract, the boundary argmin, and every
+    reverse path block back-to-back, then drain once — per-block host
+    blocking would add one ~25 ms tunnel round trip per chunk.
+
+    ``stage(chunk, t_c) → (chunk_dev, lengths_dev)``;
+    ``block(ckpt, chunk_dev, lengths_dev, boundary) → (piece, boundary)``.
+    """
+    scores_d = extract(state.carry)
+    boundary = last(state.carry)
+    pieces = []
+    for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
+        t_c = chunk.shape[0]
+        chunk_d, lengths_d = stage(chunk, t_c)
+        piece, boundary = block(ckpt, chunk_d, lengths_d, boundary)
+        pieces.append((piece, t_c))
+    # ---- single drain of everything enqueued above ----
+    first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
+    path = np.concatenate(
+        [
+            first,
+            *[
+                np.asarray(p)[:t_c, : state.b_real].astype(np.int32)
+                for p, t_c in reversed(pieces)
+            ],
+        ],
+        axis=0,
+    )  # [T_total, B]
+    return np.asarray(scores_d)[: state.b_real], path.T
+
+
 class FusedStructuredDecoder:
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
@@ -450,20 +482,14 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
-    def _path_core(self, seqs_t, lengths, masked: bool):
-        """State-major fused path decode: → (scores [Np, B], path [T, B]).
-
-        Like ``_scores_core``, directly shardable over the lane axis with
-        shard_map (the backtrace kernel is per-lane too).
-        """
+    def _path_pallas(self, v0, obs, lengths, masked: bool):
+        """One path-kernel invocation: (v0 [Np,B], obs [T,1,B]) →
+        (carry_out [Np,B], src [T, Np, B] int16). Shared by the one-shot
+        path decode and the streaming finalize blocks."""
         n = self.n
-        t_total, b = seqs_t.shape
-        v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
-        obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
-        t_steps = t_total - 1
-
+        t_steps, _, b = obs.shape
         kernel = _make_path_kernel(self.sop, masked)
-        out, src = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=(b // BB, t_steps),
             in_specs=[
@@ -499,9 +525,12 @@ class FusedStructuredDecoder:
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
-        scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [Np, B]
-        last = jnp.argmin(scores, axis=0).astype(jnp.int32)[None, :]  # [1, B]
-
+    def _backtrace_pallas(self, src, last):
+        """Reverse per-lane walk: (src [T, Np, B], last [1, B]) →
+        rev [T, B] int32 — rev[j] = state at the position src[j] leads
+        into minus one (see _backtrace_kernel)."""
+        n = self.n
+        t_steps, _, b = src.shape
         t_rev = t_steps  # captured for the reversed index maps
         rev = pl.pallas_call(
             _backtrace_kernel,
@@ -521,7 +550,21 @@ class FusedStructuredDecoder:
             scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
             interpret=self.interpret,
         )(src, last)
-        path = jnp.concatenate([rev[:, 0, :], last], axis=0)  # [T, B]
+        return rev[:, 0, :]
+
+    def _path_core(self, seqs_t, lengths, masked: bool):
+        """State-major fused path decode: → (scores [Np, B], path [T, B]).
+
+        Like ``_scores_core``, directly shardable over the lane axis with
+        shard_map (the backtrace kernel is per-lane too).
+        """
+        v0 = self.em_clamped[:, :].take(seqs_t[0], axis=1) + self.pi[:, None]
+        obs = seqs_t[1:, None, :]  # [T-1, 1, B] raw symbols
+        out, src = self._path_pallas(v0, obs, lengths, masked)
+        scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [Np, B]
+        last = jnp.argmin(scores, axis=0).astype(jnp.int32)[None, :]  # [1, B]
+        rev = self._backtrace_pallas(src, last)  # [T-1, B]
+        path = jnp.concatenate([rev, last], axis=0)  # [T, B]
         return scores, path
 
     def _run_path(self, seqs_t, lengths, masked: bool = True, b_real: int | None = None):
@@ -754,33 +797,22 @@ class FusedStructuredDecoder:
         not consumed — feeding may continue afterwards."""
         from spec_viterbi_tpu.utils.batching import quantize_t
 
-        scores = self.stream_path_scores(state)
-        boundary = self._jit_last(state.carry)  # [1, B_pad] int32
-        pieces = []  # device handles, enqueued back-to-back, reverse order
-        for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
-            t_c = chunk.shape[0]
+        def stage(chunk, t_c):
             t_q = quantize_t(t_c)
-            padded = (
-                np.pad(chunk, ((0, t_q - t_c), (0, 0))) if t_q != t_c else chunk
-            )
+            if t_q != t_c:
+                chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
             lengths = jnp.full((1, chunk.shape[1]), t_c + 1, jnp.int32)
-            piece, boundary = self._jit_path_block(
-                ckpt,
-                self._upload_syms(padded),
-                lengths,
-                boundary,
-                b_real=state.b_real,
-            )
-            pieces.append((piece, t_c))
-        # drain AFTER enqueueing every block: the boundary chain already
-        # serializes the device work; draining per block would add one
-        # tunnel round trip per chunk
-        first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
-        path = np.concatenate(
-            [first, *[np.asarray(p)[:t_c].astype(np.int32) for p, t_c in reversed(pieces)]],
-            axis=0,
-        )  # [T, B]
-        return scores, path.T
+            return self._upload_syms(chunk), lengths
+
+        return _run_path_finalize(
+            state,
+            lambda c: self._jit_extract(c, b_real=state.b_real),
+            self._jit_last,
+            stage,
+            lambda ck, ch, ln, bd: self._jit_path_block(
+                ck, ch, ln, bd, b_real=state.b_real
+            ),
+        )
 
     def _last_state(self, carry):
         """Per-lane argmin end state with +inf restored (ties → lowest)."""
@@ -795,65 +827,10 @@ class FusedStructuredDecoder:
         chunk length repeat the boundary via identity pad pointers; the
         caller slices [:t_c]) — and the new boundary rev[0] = state at
         position p)."""
-        n = self.n
-        t_steps, b = chunk.shape
         obs = chunk.astype(jnp.int32)[:, None, :]  # [T_q, 1, B]
-        kernel = _make_path_kernel(self.sop, True)
-        _, src = pl.pallas_call(
-            kernel,
-            grid=(b // BB, t_steps),
-            in_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (n, self.rv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (n, self.cv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, n, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n, b), jnp.float32),
-                jax.ShapeDtypeStruct((t_steps, n, b), jnp.int16),
-            ],
-            interpret=self.interpret,
-        )(carry, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
-
-        t_rev = t_steps
-        rev = pl.pallas_call(
-            _backtrace_kernel,
-            grid=(b // BB, t_steps),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n, BB),
-                    lambda i, t: (t_rev - 1 - t, 0, i),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, BB), lambda i, t: (t_rev - 1 - t, 0, i), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((t_steps, 1, b), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
-            interpret=self.interpret,
-        )(src, boundary)[:, 0, :]  # [T_q, B] states at positions p..p+T_q-1
+        _, src = self._path_pallas(carry, obs, lengths, masked=True)
+        # [T_q, B] states at positions p..p+T_q-1
+        rev = self._backtrace_pallas(src, boundary)
         piece = jnp.concatenate([rev[1:], boundary], axis=0)  # p+1..p+T_q
         return piece[:, :b_real].astype(jnp.int16), rev[0:1]
 

@@ -331,28 +331,15 @@ class StreamDP:
 
     def path_finalize(self, state):
         """→ (scores [B, Np], paths [B, T_total]); state not consumed."""
-        scores = self.path_scores(state)
-        boundary = self._last_fn(state.carry)
-        pieces = []
-        for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
-            t_c = chunk.shape[0]
-            chunk_d, lengths_d = self._stage_prepped(chunk, t_c)
-            piece, boundary = self._path_block_fn(
-                ckpt, chunk_d, lengths_d, boundary
-            )
-            pieces.append((piece, t_c))
-        first = np.asarray(boundary)[:, : state.b_real]
-        path = np.concatenate(
-            [
-                first,
-                *[
-                    np.asarray(p)[:t_c, : state.b_real].astype(np.int32)
-                    for p, t_c in reversed(pieces)
-                ],
-            ],
-            axis=0,
+        from spec_viterbi_tpu.ops.fused_pallas import _run_path_finalize
+
+        return _run_path_finalize(
+            state,
+            self._extract_fn,
+            self._last_fn,
+            self._stage_prepped,
+            self._path_block_fn,
         )
-        return scores, path.T
 
 
 # --------------------------------------------------------------------------

@@ -69,6 +69,17 @@ def test_cli_decode_stream_chunk(capsys):
         assert p == op.tolist()
 
 
+def test_cli_decode_stream_chunk_validation(capsys):
+    """Bad --stream-chunk values error out instead of decoding garbage."""
+    assert cli.main(["decode", CHMM0, ESS0, "--stream-chunk", "-5"]) == 2
+    assert "must be >= 1" in capsys.readouterr().err
+    assert (
+        cli.main(["decode", CHMM0, ESS0, "--stream-chunk", "3", "--mode", "dense"])
+        == 2
+    )
+    assert "incompatible" in capsys.readouterr().err
+
+
 def test_cli_decode_spec_level(capsys):
     assert cli.main(["decode", CHMM0, ESS0, "--spec-level", "2"]) == 0
     out = capsys.readouterr().out

@@ -75,6 +75,19 @@ def _stream_decode(hmm, seq, width: int = 37):
     return fd.stream_scores(state)[0]
 
 
+def _stream_path_decode(hmm, seq, width: int = 53):
+    """Scores via the exact-path streaming finalize (1 lane); the path
+    itself is oracle-checked in test_streaming/test_property_random — the
+    matrix compares score vectors."""
+    fd = _STREAM_DECODERS[hmm.fingerprint()]  # built by _stream_decode
+    block = np.asarray(seq, np.int32)[:, None]
+    state = fd.stream_begin_path(block[0])
+    for pos in range(1, len(seq), width):
+        state = fd.stream_feed_path(state, block[pos : pos + width])
+    scores, _ = fd.stream_path_finalize(state)
+    return scores[0]
+
+
 @pytest.fixture(scope="module")
 def sequences():
     seqs = read_emit_seq(os.path.join(ESS_DIR, "emit_3_3500_20.ess"))
@@ -117,11 +130,12 @@ def test_all_paths_agree(model, sequences):
             "spec_struct_L2"
         ].run_spec_batch([seq])[0]
         if not FULL:
-            # streaming path (fused kernel in interpret mode off-TPU; too
+            # streaming paths (fused kernel in interpret mode off-TPU; too
             # slow for the FULL sweep — hardware streaming is covered by
             # tests/test_streaming.py and the TPU verify drive). Uneven
-            # 37-symbol chunks exercise the quantized masked feed.
+            # chunk widths exercise the quantized masked feed.
             results["streaming"] = _stream_decode(hmm, seq)
+            results["streaming_path"] = _stream_path_decode(hmm, seq)
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))

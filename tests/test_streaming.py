@@ -197,6 +197,10 @@ def test_decoder_streaming_accessor():
     dense = ViterbiDecoder(hmm, mode="dense")
     with pytest.raises(ValueError):
         dense.streaming()
+    # an explicit use_pallas=False pin must not be silently overridden
+    pinned = ViterbiDecoder(hmm, mode="structured", use_pallas=False)
+    with pytest.raises(ValueError, match="use_pallas=False"):
+        pinned.streaming()
 
 
 def test_stream_validation():
