@@ -28,6 +28,7 @@ Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -395,6 +396,15 @@ class FusedStructuredDecoder:
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
         self._sym_dtype = np.int8 if self.emit_num <= 127 else np.int32
+        # content fingerprint guarding persisted stream states (padded
+        # state counts collide across models; values don't)
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in (emissions, pi, sop.diag_vals, sop.row_vals, sop.col_vals,
+                  sop.res_vals):
+            h.update(np.ascontiguousarray(a).tobytes())
+        self._model_key = h.hexdigest()
 
         self._jit_run = jax.jit(self._run, static_argnames=("masked", "b_real"))
         self._jit_run_path = jax.jit(
@@ -813,6 +823,47 @@ class FusedStructuredDecoder:
                 ck, ch, ln, bd, b_real=state.b_real
             ),
         )
+
+    # ---- stream-state persistence (checkpoint/resume across processes) --
+    #
+    # The carry IS the whole forward state, so a stream survives process
+    # restarts by writing it to disk — the streaming analog of the
+    # operator cache (SURVEY.md §5 checkpoint/resume; the reference
+    # rebuilds everything from scratch every run).
+
+    def stream_save(self, state, path: str) -> None:
+        """Persist a StreamState or PathStreamState to ``path`` (.npz)."""
+        payload = {
+            "carry": np.asarray(state.carry),
+            "b_real": np.int64(state.b_real),
+            "model_key": np.bytes_(self._model_key.encode()),
+        }
+        if isinstance(state, PathStreamState):
+            payload["n_chunks"] = np.int64(len(state.chunks))
+            for k, (ck, chunk) in enumerate(zip(state.checkpoints, state.chunks)):
+                payload[f"ckpt_{k}"] = np.asarray(ck)
+                payload[f"chunk_{k}"] = chunk
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)  # atomic publish
+
+    def stream_load(self, path: str):
+        """Load a stream state saved by :meth:`stream_save`; resumes
+        bit-identically (the carry is the complete forward state)."""
+        with np.load(path) as z:
+            if bytes(z["model_key"]).decode() != self._model_key:
+                raise ValueError(
+                    "stream state was saved for a different model/decoder"
+                )
+            carry = jnp.asarray(z["carry"])
+            b_real = int(z["b_real"])
+            if "n_chunks" not in z:
+                return StreamState(carry, b_real)
+            n_chunks = int(z["n_chunks"])
+            ckpts = tuple(jnp.asarray(z[f"ckpt_{k}"]) for k in range(n_chunks))
+            chunks = tuple(z[f"chunk_{k}"] for k in range(n_chunks))
+            return PathStreamState(carry, b_real, ckpts, chunks)
 
     def _last_state(self, carry):
         """Per-lane argmin end state with +inf restored (ties → lowest)."""

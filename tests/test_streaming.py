@@ -203,6 +203,47 @@ def test_decoder_streaming_accessor():
         pinned.streaming()
 
 
+def test_stream_save_load_roundtrip(tmp_path):
+    """A persisted stream resumes bit-identically (scores AND paths)."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(hmm)
+    rng = np.random.default_rng(51)
+    block = rng.integers(0, hmm.emit_num, size=(25, 2)).astype(np.int32)
+
+    # scores stream: save mid-way, resume in a "new" state object
+    st = fd.stream_begin(block[0])
+    st = fd.stream_feed(st, block[1:11])
+    p = str(tmp_path / "scores.npz")
+    fd.stream_save(st, p)
+    st2 = fd.stream_load(p)
+    st = fd.stream_feed(st, block[11:])
+    st2 = fd.stream_feed(st2, block[11:])
+    assert np.array_equal(
+        np.nan_to_num(fd.stream_scores(st), posinf=-1),
+        np.nan_to_num(fd.stream_scores(st2), posinf=-1),
+    )
+
+    # path stream: checkpoints and chunks survive the roundtrip
+    stp = fd.stream_begin_path(block[0])
+    stp = fd.stream_feed_path(stp, block[1:11])
+    pp = str(tmp_path / "paths.npz")
+    fd.stream_save(stp, pp)
+    stp2 = fd.stream_load(pp)
+    stp2 = fd.stream_feed_path(stp2, block[11:])
+    scores, paths = fd.stream_path_finalize(stp2)
+    for i in range(2):
+        _, opath = viterbi_path_oracle(hmm, block[:, i])
+        assert np.array_equal(paths[i], opath), i
+
+    # wrong-model guard
+    other = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fo = _fused_for(other)
+    with pytest.raises(ValueError, match="state"):
+        fo.stream_load(p)
+
+
 def test_stream_validation():
     hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
     fd = _fused_for(hmm)
