@@ -105,6 +105,41 @@ def main() -> int:
                 }
             )
 
+        # DP-sharded streaming feed: per-shard fused kernels, must show
+        # zero collectives like the one-shot DP path
+        from spec_viterbi_tpu.ops.fused_pallas import (
+            FusedStructuredDecoder,
+            fused_eligible,
+        )
+        from spec_viterbi_tpu.parallel.sharded import StreamDP
+
+        if fused_eligible(sop):
+            fdec = FusedStructuredDecoder(
+                sop,
+                hmm.emission_matrix(pad_to=sop.n),
+                hmm.start_vector(pad_to=sop.n),
+                interpret=True,
+            )
+            for d in (2, 8):
+                sdp = StreamDP(fdec, make_mesh(data=d))
+                carry = jnp.zeros((sop.n, d * 128), jnp.float32)
+                chunk = jnp.zeros((64, d * 128), jnp.int8)
+                lens = jnp.zeros((1, d * 128), jnp.int32)
+                hlo = (
+                    sdp._feed_fn.lower(carry, chunk, lens).compile().as_text()
+                )
+                rows.append(
+                    {
+                        "path": "stream_dp_feed",
+                        "model": model,
+                        "n_states": int(sop.n),
+                        "mesh": {"data": d},
+                        "per_step_collective_bytes": collective_payload_bytes(
+                            hlo
+                        ),
+                    }
+                )
+
         # dense TP: the all-gather-the-carry design halo-TP replaces
         n = sop.n
         a_t = jnp.zeros((n, n), jnp.float32)
