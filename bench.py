@@ -98,22 +98,32 @@ def main() -> None:
     results = {}
 
     # Structured (fused-kernel) serving throughput: full-lane batches,
-    # enqueue all, drain once.
-    try:
-        with _deadline(MODE_TIMEOUT_S):
-            dec = svt.ViterbiDecoder(hmm, mode="structured")
-            handles = [
-                dec.prepare_batch(b) for b in _packed_work(seqs, LANES, N_BATCHES)
-            ]
+    # enqueue all, drain once. A remote compile occasionally stalls past
+    # the budget on its FIRST encounter with a shape; the retry almost
+    # always succeeds because the compile-server cache keeps whatever the
+    # aborted attempt finished (observed: 480s timeout, then 46.5M on the
+    # immediate rerun).
+    for attempt in range(2):
+        try:
+            with _deadline(MODE_TIMEOUT_S):
+                dec = svt.ViterbiDecoder(hmm, mode="structured")
+                handles = [
+                    dec.prepare_batch(b)
+                    for b in _packed_work(seqs, LANES, N_BATCHES)
+                ]
 
-            def run_structured():
-                outs = [dec.run_batch(h) for h in handles]
-                block(outs[-1])
+                def run_structured():
+                    outs = [dec.run_batch(h) for h in handles]
+                    block(outs[-1])
 
-            sec = _median_time(run_structured)
-            results["structured"] = N_BATCHES * LANES * T_LEN / sec
-    except Exception as exc:  # pragma: no cover - transient env failures
-        print(f"[bench] structured mode failed: {exc}", file=sys.stderr)
+                sec = _median_time(run_structured)
+                results["structured"] = N_BATCHES * LANES * T_LEN / sec
+            break
+        except Exception as exc:  # pragma: no cover - transient env failures
+            print(
+                f"[bench] structured mode attempt {attempt} failed: {exc}",
+                file=sys.stderr,
+            )
 
     # Dense XLA baseline: the 50-sequence workload as one batched program
     # (its best configuration), R pipelined repeats, one drain.
