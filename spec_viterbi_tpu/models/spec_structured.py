@@ -145,7 +145,7 @@ class StructuredSpecializedViterbi:
             from spec_viterbi_tpu.ops import fused_pallas
 
             if _jax.default_backend() == "tpu" and fused_pallas.fused_eligible(sop):
-                # unroll=2 regardless of level: chunk boundaries do not
+                # default unroll regardless of level: chunk boundaries do not
                 # change the math (sequential application IS the composed
                 # operator), and sharing the non-spec kernel shape means
                 # one compile serves every path (persistent compile cache)

@@ -355,11 +355,14 @@ class FusedStructuredDecoder:
         emissions: np.ndarray,
         pi: np.ndarray,
         interpret: bool = False,
-        unroll: int = 2,
+        unroll: int = 4,
     ):
-        # unroll=2 amortizes grid overhead and batches the MXU one-hot dot
-        # (~6% on the 2405 corpus); unroll=4's [Np, 4·B] em_all exceeds the
-        # 16 MB VMEM budget at Np≈2432.
+        # Unrolling amortizes grid overhead and batches the MXU one-hot
+        # dot. unroll=4 needs the raised scoped-VMEM limit (its ~17.4 MB
+        # working set at Np≈2432 exceeds Mosaic's 16 MB default — see the
+        # compiler_params note in _pallas) and measured fastest on the
+        # 2405 corpus at b=512: 46.1M sym/s vs 43.9M (u2) / 41.7M (u5) /
+        # 40.0M (u7) in one session — deeper unrolls spill.
         self.interpret = interpret
         self.unroll = unroll
         if not fused_eligible(sop):
@@ -489,6 +492,13 @@ class FusedStructuredDecoder:
             ],
             out_specs=pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+            # The default 16 MB scoped-VMEM budget is just under this
+            # kernel's working set when Mosaic additionally decides to keep
+            # a small obs operand fully resident (observed: [1024,1,512]
+            # s32 obs → 16.43 MB and a compile OOM, while larger obs
+            # stream and fit). v5e has 128 MB physical VMEM; 64 MB keeps
+            # every observed shape comfortably legal.
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
