@@ -542,6 +542,9 @@ class FusedStructuredDecoder:
                 jax.ShapeDtypeStruct((n, b), jnp.float32),
                 jax.ShapeDtypeStruct((t_steps, n, b), jnp.int16),
             ],
+            # same raised scoped-VMEM budget as _pallas (small operands
+            # can be kept fully resident by Mosaic — see note there)
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
@@ -568,6 +571,7 @@ class FusedStructuredDecoder:
             ),
             out_shape=jax.ShapeDtypeStruct((t_steps, 1, b), jnp.int32),
             scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(src, last)
         return rev[:, 0, :]
