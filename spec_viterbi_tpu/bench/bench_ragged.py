@@ -63,25 +63,29 @@ def benchmark_ragged(
     )
     lens = [len(s) for s in read_emit_seq(ess_path)] * copies
 
-    results = []
-    # end-to-end decode_batch (fresh host inputs per rep; seeds disjoint
-    # BETWEEN the whole/bucketed variants too — when bucket_plan returns
-    # None the bucketed variant issues the identical computation, and the
-    # axon runtime memoizes identical repeats, which would make the bucket
-    # columns dispatch-only replays)
+    # Variant reps are INTERLEAVED (whole, bucket, whole, bucket, …): the
+    # tunnel's H2D throughput and dispatch latency drift on minute
+    # timescales, so timing one variant's reps back-to-back before the
+    # other's biases whichever ran later. Seeds stay disjoint BETWEEN
+    # variants — when bucket_plan returns None the bucketed variant would
+    # otherwise issue the identical computation and the axon runtime
+    # memoizes identical repeats (dispatch-only replays).
+    e2e_times: dict[bool, list[float]] = {False: [], True: []}
     for bucketed in (False, True):
         voff = 5000 if bucketed else 0
         fd.decode_batch(_workload(lens, hmm.emit_num, 999 + voff), bucketed=bucketed)
-        times = []
-        for rep in range(times_to_run):
+    for rep in range(times_to_run):
+        for bucketed in (False, True):
+            voff = 5000 if bucketed else 0
             seqs = _workload(lens, hmm.emit_num, rep + voff)
             t0 = time.perf_counter()
             fd.decode_batch(seqs, bucketed=bucketed)
-            times.append((time.perf_counter() - t0) * 1e3)
-        results.append(get_median(sorted(times)))
+            e2e_times[bucketed].append((time.perf_counter() - t0) * 1e3)
+    results = [get_median(sorted(e2e_times[False])), get_median(sorted(e2e_times[True]))]
 
     # pre-staged compute: distinct staged workloads per rep AND variant,
-    # one probe
+    # one probe per timed rep, variants interleaved as above
+    staged: dict[bool, list] = {}
     for bucketed in (False, True):
         voff = 5000 if bucketed else 0
         reps = []
@@ -103,15 +107,21 @@ def benchmark_ragged(
             fd._jit_run(st, ln, masked=m)
         st, ln, m = reps[0][0]
         np.asarray(fd._jit_run(st, ln, masked=m)[:1, :1])
-        times = []
-        for hs in reps:
+        staged[bucketed] = reps
+    comp_times: dict[bool, list[float]] = {False: [], True: []}
+    for rep in range(times_to_run):
+        for bucketed in (False, True):
+            hs = staged[bucketed][rep]
             t0 = time.perf_counter()
             last = None
             for st, ln, m in hs:
                 last = fd._jit_run(st, ln, masked=m)
             np.asarray(last[:1, :1])
-            times.append((time.perf_counter() - t0) * 1e3)
-        results.append(get_median(sorted(times)))
+            comp_times[bucketed].append((time.perf_counter() - t0) * 1e3)
+    results += [
+        get_median(sorted(comp_times[False])),
+        get_median(sorted(comp_times[True])),
+    ]
     return hmm.states_num, results
 
 
