@@ -300,37 +300,47 @@ class StreamState(NamedTuple):
     b_real: int
 
 
+class StreamChunk(NamedTuple):
+    """One retained chunk: the staged device symbols (already quantized +
+    lane-padded — reused verbatim by the finalize re-run, so finalize does
+    ZERO host→device transfer) and the real step count."""
+
+    syms: "jax.Array"  # [T_q, B_pad] narrow-dtype device symbols
+    lengths: "jax.Array"  # [1, B_pad] int32 (t_c + 1 everywhere)
+    t_c: int
+
+
 class PathStreamState(NamedTuple):
     """Streaming exact-path state: carry + per-chunk checkpoints.
 
     ``checkpoints[k]`` is the device carry at chunk ``k``'s start (O(Np·B)
-    each); ``chunks[k]`` holds chunk ``k``'s symbols on the HOST (the
-    symbols must be retained anyway to rematerialize backpointers — the
-    device never holds more than one chunk's [T_c, Np, B] tensor)."""
+    each); ``chunks[k]`` is the chunk's :class:`StreamChunk` (symbols stay
+    device-resident — ~0.2 MB/chunk at int8, smaller than the checkpoint;
+    the device never holds more than one chunk's [T_c, Np, B] bp
+    tensor)."""
 
     carry: "jax.Array"  # [Np, B_pad]
     b_real: int
     checkpoints: tuple  # tuple of [Np, B_pad] device carries
-    chunks: tuple  # tuple of host int arrays [T_c, B_pad]
+    chunks: tuple  # tuple of StreamChunk
 
 
-def _run_path_finalize(state: "PathStreamState", extract, last, stage, block):
+def _run_path_finalize(state: "PathStreamState", extract, last, block):
     """Shared checkpoint-rematerialize finalize protocol (single-chip and
     DP-sharded): ENQUEUE the score extract, the boundary argmin, and every
     reverse path block back-to-back, then drain once — per-block host
-    blocking would add one ~25 ms tunnel round trip per chunk.
+    blocking would add one ~25 ms tunnel round trip per chunk, and the
+    chunk symbols are already device-resident (StreamChunk) so there is
+    zero H2D here.
 
-    ``stage(chunk, t_c) → (chunk_dev, lengths_dev)``;
-    ``block(ckpt, chunk_dev, lengths_dev, boundary) → (piece, boundary)``.
+    ``block(ckpt, syms_dev, lengths_dev, boundary) → (piece, boundary)``.
     """
     scores_d = extract(state.carry)
     boundary = last(state.carry)
     pieces = []
-    for chunk, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
-        t_c = chunk.shape[0]
-        chunk_d, lengths_d = stage(chunk, t_c)
-        piece, boundary = block(ckpt, chunk_d, lengths_d, boundary)
-        pieces.append((piece, t_c))
+    for rec, ckpt in zip(reversed(state.chunks), reversed(state.checkpoints)):
+        piece, boundary = block(ckpt, rec.syms, rec.lengths, boundary)
+        pieces.append((piece, rec.t_c))
     # ---- single drain of everything enqueued above ----
     first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
     path = np.concatenate(
@@ -421,6 +431,16 @@ class FusedStructuredDecoder:
             self._path_block, static_argnames=("b_real",)
         )
 
+    def _unroll_for(self, b: int) -> int:
+        """Effective unroll for a ``b``-lane call: non-128-multiples can't
+        unroll (per-block symbol indexing), and deep unrolling only pays
+        when grid overhead amortizes across many lane blocks — measured at
+        Np=2432: unroll=4 is +5% over u2 at b=512 but −18% at b=128 (the
+        wider per-cell em_sel doesn't amortize on one block)."""
+        if b % BB != 0:
+            return 1
+        return self.unroll if b >= 4 * BB else min(self.unroll, 2)
+
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
 
@@ -437,7 +457,7 @@ class FusedStructuredDecoder:
         # multi-block batches (b = k·BB) unroll too: the seq BlockSpec
         # indexes (t, 0, i) so each lane block sees its own symbol stream
         # (validated vs oracle in interpret mode and on hardware)
-        unroll = self.unroll if b % BB == 0 else 1
+        unroll = self._unroll_for(b)
         chunks, tail = divmod(t_steps, unroll)
         out = v0
         if chunks:
@@ -801,11 +821,15 @@ class FusedStructuredDecoder:
                 f"path chunk of {t_c} symbols ({t_q} quantized) exceeds the "
                 f"backpointer budget at {b_pad} lanes; feed smaller chunks"
             )
+        if t_q != t_c:  # masked off via lengths below
+            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
+        syms_d = self._upload_syms(chunk)
+        lengths_d = jnp.full((1, b_pad), t_c + 1, jnp.int32)
         return PathStreamState(
-            self._feed_quantized(state.carry, chunk, t_c),
+            self._jit_feed(state.carry, syms_d, lengths_d),
             state.b_real,
             state.checkpoints + (state.carry,),
-            state.chunks + (chunk,),
+            state.chunks + (StreamChunk(syms_d, lengths_d, t_c),),
         )
 
     def stream_path_scores(self, state: "PathStreamState") -> np.ndarray:
@@ -819,20 +843,10 @@ class FusedStructuredDecoder:
 
         Re-runs the path kernel per chunk in reverse order; the state is
         not consumed — feeding may continue afterwards."""
-        from spec_viterbi_tpu.utils.batching import quantize_t
-
-        def stage(chunk, t_c):
-            t_q = quantize_t(t_c)
-            if t_q != t_c:
-                chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
-            lengths = jnp.full((1, chunk.shape[1]), t_c + 1, jnp.int32)
-            return self._upload_syms(chunk), lengths
-
         return _run_path_finalize(
             state,
             lambda c: self._jit_extract(c, b_real=state.b_real),
             self._jit_last,
-            stage,
             lambda ck, ch, ln, bd: self._jit_path_block(
                 ck, ch, ln, bd, b_real=state.b_real
             ),
@@ -854,9 +868,10 @@ class FusedStructuredDecoder:
         }
         if isinstance(state, PathStreamState):
             payload["n_chunks"] = np.int64(len(state.chunks))
-            for k, (ck, chunk) in enumerate(zip(state.checkpoints, state.chunks)):
+            for k, (ck, rec) in enumerate(zip(state.checkpoints, state.chunks)):
                 payload[f"ckpt_{k}"] = np.asarray(ck)
-                payload[f"chunk_{k}"] = chunk
+                payload[f"chunk_{k}"] = np.asarray(rec.syms)
+                payload[f"tc_{k}"] = np.int64(rec.t_c)
         tmp = f"{path}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             np.savez(f, **payload)
@@ -876,8 +891,18 @@ class FusedStructuredDecoder:
                 return StreamState(carry, b_real)
             n_chunks = int(z["n_chunks"])
             ckpts = tuple(jnp.asarray(z[f"ckpt_{k}"]) for k in range(n_chunks))
-            chunks = tuple(z[f"chunk_{k}"] for k in range(n_chunks))
-            return PathStreamState(carry, b_real, ckpts, chunks)
+            b_pad = carry.shape[1]
+            chunks = []
+            for k in range(n_chunks):
+                t_c = int(z[f"tc_{k}"])
+                chunks.append(
+                    StreamChunk(
+                        jnp.asarray(z[f"chunk_{k}"]),
+                        jnp.full((1, b_pad), t_c + 1, jnp.int32),
+                        t_c,
+                    )
+                )
+            return PathStreamState(carry, b_real, ckpts, tuple(chunks))
 
     def _last_state(self, carry):
         """Per-lane argmin end state with +inf restored (ties → lowest)."""
@@ -909,7 +934,7 @@ class FusedStructuredDecoder:
         b = carry.shape[1]
         obs = chunk.astype(jnp.int32)[:, None, :]  # [T_q, 1, B]
         t_steps = obs.shape[0]
-        unroll = self.unroll if b % BB == 0 else 1
+        unroll = self._unroll_for(b)
         chunks, tail = divmod(t_steps, unroll)
         out = carry
         if chunks:

@@ -303,7 +303,10 @@ class StreamDP:
         return PathStreamState(carry, b_real, (), ())
 
     def feed_path(self, state, chunk):
-        from spec_viterbi_tpu.ops.fused_pallas import PathStreamState
+        from spec_viterbi_tpu.ops.fused_pallas import (
+            PathStreamState,
+            StreamChunk,
+        )
         from spec_viterbi_tpu.utils.batching import quantize_t
 
         prep = self.fd._prep_stream_chunk(state.carry, state.b_real, chunk)
@@ -323,7 +326,7 @@ class StreamDP:
             self._feed_fn(state.carry, chunk_d, lengths_d),
             state.b_real,
             state.checkpoints + (state.carry,),
-            state.chunks + (chunk,),
+            state.chunks + (StreamChunk(chunk_d, lengths_d, t_c),),
         )
 
     def path_scores(self, state) -> np.ndarray:
@@ -337,7 +340,6 @@ class StreamDP:
             state,
             self._extract_fn,
             self._last_fn,
-            self._stage_prepped,
             self._path_block_fn,
         )
 
