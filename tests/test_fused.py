@@ -221,6 +221,26 @@ def test_fused_multi_block_batch_unrolled():
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
 
 
+def test_fused_unroll4_width_gate():
+    """b >= 512 lanes runs the deep-unroll (u4) kernel variant; narrower
+    calls drop to u2 (measured faster below 4 blocks — `_unroll_for`).
+    Pins the u4 code path in CI with a 512-lane oracle check."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    assert fd._unroll_for(512) == 4
+    assert fd._unroll_for(256) == 2
+    assert fd._unroll_for(130) == 1
+    rng = np.random.default_rng(17)
+    # 500 ragged sequences -> 512 lanes (4 blocks): u4 with a tail step
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=rng.integers(2, 15)).astype(np.int32)
+        for _ in range(500)
+    ]
+    got = fd.decode_batch(seqs, bucketed=False)
+    for g, s in zip(got[::37], seqs[::37]):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
 def test_fused_ragged_lengths_frozen_lanes():
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
