@@ -119,11 +119,14 @@ def main() -> None:
                 sec = _median_time(run_structured)
                 results["structured"] = N_BATCHES * LANES * T_LEN / sec
             break
-        except Exception as exc:  # pragma: no cover - transient env failures
+        except TimeoutError as exc:  # pragma: no cover - stalled compile
             print(
-                f"[bench] structured mode attempt {attempt} failed: {exc}",
+                f"[bench] structured mode attempt {attempt} timed out: {exc}",
                 file=sys.stderr,
             )
+        except Exception as exc:  # pragma: no cover - deterministic failure
+            print(f"[bench] structured mode failed: {exc}", file=sys.stderr)
+            break  # retrying an identical deterministic failure is waste
 
     # Dense XLA baseline: the 50-sequence workload as one batched program
     # (its best configuration), R pipelined repeats, one drain.

@@ -103,10 +103,21 @@ def benchmark_ragged(
                 )
             else:
                 reps.append([fd.prepare(seqs)])
-        for st, ln, m in reps[0]:  # warm every shape
-            fd._jit_run(st, ln, masked=m)
-        st, ln, m = reps[0][0]
-        np.asarray(fd._jit_run(st, ln, masked=m)[:1, :1])
+        # warm every compiled shape with THROWAWAY handles — warming with
+        # reps[0] itself would make timed rep 0 a memoized replay of the
+        # identical computation (the runtime caches identical repeats)
+        wseqs = _workload(lens, hmm.emit_num, 777 + voff)
+        if bucketed:
+            plan = bucket_plan([len(s) for s in wseqs]) or [
+                (list(range(len(wseqs))), None)
+            ]
+            warm = [fd.prepare([wseqs[i] for i in idx], t_pad=t) for idx, t in plan]
+        else:
+            warm = [fd.prepare(wseqs)]
+        last = None
+        for st, ln, m in warm:
+            last = fd._jit_run(st, ln, masked=m)
+        np.asarray(last[:1, :1])
         staged[bucketed] = reps
     comp_times: dict[bool, list[float]] = {False: [], True: []}
     for rep in range(times_to_run):

@@ -369,10 +369,13 @@ class FusedStructuredDecoder:
         emissions: np.ndarray,
         pi: np.ndarray,
         interpret: bool = False,
-        unroll: int = 4,
+        unroll: int | None = None,
     ):
         # Unrolling amortizes grid overhead and batches the MXU one-hot
-        # dot. unroll=4 needs the raised scoped-VMEM limit (its ~17.4 MB
+        # dot. ``unroll=None`` (default) adapts to the call's lane width
+        # (``_unroll_for``); an explicit int pins that depth exactly —
+        # the experiment scripts rely on the pin meaning what it says.
+        # unroll=4 needs the raised scoped-VMEM limit (its ~17.4 MB
         # working set at Np≈2432 exceeds Mosaic's 16 MB default — see the
         # compiler_params note in _pallas) and measured fastest on the
         # 2405 corpus at b=512: 46.1M sym/s vs 43.9M (u2) / 41.7M (u5) /
@@ -413,14 +416,25 @@ class FusedStructuredDecoder:
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
         self._sym_dtype = np.int8 if self.emit_num <= 127 else np.int32
-        # content fingerprint guarding persisted stream states (padded
-        # state counts collide across models; values don't)
+        # content fingerprint guarding persisted stream states: values AND
+        # structure (two models can share value bytes while differing in
+        # diagonal offsets / index placement), with shape+dtype delimiters
+        # so array-boundary collisions are impossible
         import hashlib
 
         h = hashlib.sha1()
-        for a in (emissions, pi, sop.diag_vals, sop.row_vals, sop.col_vals,
-                  sop.res_vals):
-            h.update(np.ascontiguousarray(a).tobytes())
+        for a in (
+            emissions, pi,
+            sop.diag_vals, sop.row_vals, sop.col_vals, sop.res_vals,
+            np.asarray(sop.diag_offsets, np.int64),
+            np.asarray(sop.row_idx, np.int64),
+            np.asarray(sop.col_idx, np.int64),
+            np.asarray(sop.res_src, np.int64),
+            np.asarray(sop.res_dst, np.int64),
+        ):
+            a = np.ascontiguousarray(a)
+            h.update(f"{a.shape}{a.dtype}|".encode())
+            h.update(a.tobytes())
         self._model_key = h.hexdigest()
 
         self._jit_run = jax.jit(self._run, static_argnames=("masked", "b_real"))
@@ -437,13 +451,16 @@ class FusedStructuredDecoder:
 
     def _unroll_for(self, b: int) -> int:
         """Effective unroll for a ``b``-lane call: non-128-multiples can't
-        unroll (per-block symbol indexing), and deep unrolling only pays
-        when grid overhead amortizes across many lane blocks — measured at
-        Np=2432: unroll=4 is +5% over u2 at b=512 but −18% at b=128 (the
-        wider per-cell em_sel doesn't amortize on one block)."""
+        unroll (per-block symbol indexing); an explicitly pinned unroll is
+        honored; otherwise deep unrolling only pays when grid overhead
+        amortizes across many lane blocks — measured at Np=2432: unroll=4
+        is +5% over u2 at b=512 but −18% at b=128 (the wider per-cell
+        em_sel doesn't amortize on one block)."""
         if b % BB != 0:
             return 1
-        return self.unroll if b >= 4 * BB else min(self.unroll, 2)
+        if self.unroll is not None:
+            return self.unroll
+        return 4 if b >= 4 * BB else 2
 
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
@@ -755,18 +772,31 @@ class FusedStructuredDecoder:
             chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
         return chunk, t_c
 
-    def _feed_quantized(self, carry, chunk, t_c: int):
-        """Advance the carry by a lane-padded [t_c, B_pad] chunk."""
+    def _stage_quantized(self, chunk, t_c: int, put=None):
+        """T-quantize + narrow-upload a lane-padded [t_c, B_pad] chunk →
+        (syms_dev, lengths_dev). THE one copy of the chunk-staging
+        protocol (scores stream, path stream, and the DP-sharded stream
+        via its ``put`` placement hook all use it).
+
+        The masked keep-condition is (step + 1) < lengths (the batch
+        path's obs starts at symbol 1); chunk steps are absolute, so
+        ``t_c + 1`` applies exactly steps 0..t_c-1 and freezes the
+        quantization pad."""
         from spec_viterbi_tpu.utils.batching import quantize_t
 
         t_q = quantize_t(t_c)
-        if t_q != t_c:  # padding steps are masked off below
+        if t_q != t_c:  # padding steps are masked off via lengths
             chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
-        # masked keep-condition is (step + 1) < lengths (the batch path's
-        # obs starts at symbol 1); chunk steps are absolute, so t_c + 1
-        # applies exactly steps 0..t_c-1 and freezes the quantization pad
-        lengths = jnp.full((1, chunk.shape[1]), t_c + 1, jnp.int32)
-        return self._jit_feed(carry, self._upload_syms(chunk), lengths)
+        lengths = np.full((1, chunk.shape[1]), t_c + 1, np.int32)
+        syms = chunk.astype(self._sym_dtype)
+        if put is None:
+            return jnp.asarray(syms), jnp.asarray(lengths)
+        return put(syms), put(lengths)
+
+    def _feed_quantized(self, carry, chunk, t_c: int):
+        """Advance the carry by a lane-padded [t_c, B_pad] chunk."""
+        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
+        return self._jit_feed(carry, syms_d, lengths_d)
 
     def _upload_syms(self, chunk: np.ndarray):
         """H2D symbol upload at the narrowest dtype the alphabet allows
@@ -825,10 +855,7 @@ class FusedStructuredDecoder:
                 f"path chunk of {t_c} symbols ({t_q} quantized) exceeds the "
                 f"backpointer budget at {b_pad} lanes; feed smaller chunks"
             )
-        if t_q != t_c:  # masked off via lengths below
-            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
-        syms_d = self._upload_syms(chunk)
-        lengths_d = jnp.full((1, b_pad), t_c + 1, jnp.int32)
+        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
         return PathStreamState(
             self._jit_feed(state.carry, syms_d, lengths_d),
             state.b_real,

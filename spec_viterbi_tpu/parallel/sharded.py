@@ -237,17 +237,10 @@ class StreamDP:
         return jax.device_put(arr, self._sh)
 
     def _stage_prepped(self, chunk, t_c: int):
-        """T-quantize + upload an already lane-padded [t_c, B_pad] chunk."""
-        from spec_viterbi_tpu.utils.batching import quantize_t
-
-        t_q = quantize_t(t_c)
-        if t_q != t_c:
-            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
-        lengths = np.full((1, chunk.shape[1]), t_c + 1, np.int32)
-        return (
-            self._put(chunk.astype(self.fd._sym_dtype)),
-            self._put(lengths),
-        )
+        """T-quantize + upload an already lane-padded [t_c, B_pad] chunk,
+        placed with the mesh sharding (the single-chip staging protocol
+        with a placement hook)."""
+        return self.fd._stage_quantized(chunk, t_c, put=self._put)
 
     def _stage_chunk(self, carry, b_real: int, chunk):
         """Validate/lane-pad/T-quantize a chunk for the sharded feed."""
