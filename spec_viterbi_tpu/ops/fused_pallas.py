@@ -798,12 +798,6 @@ class FusedStructuredDecoder:
         syms_d, lengths_d = self._stage_quantized(chunk, t_c)
         return self._jit_feed(carry, syms_d, lengths_d)
 
-    def _upload_syms(self, chunk: np.ndarray):
-        """H2D symbol upload at the narrowest dtype the alphabet allows
-        (int8 for every reference model — 4× less tunnel traffic);
-        widened back to int32 on device inside the jit."""
-        return jnp.asarray(chunk.astype(self._sym_dtype))
-
     def stream_scores(self, state: "StreamState") -> np.ndarray:
         """Extract current [B, Np] score vectors (+inf restored); the
         state stays valid — peeking mid-stream is allowed."""
