@@ -244,6 +244,35 @@ def test_stream_save_load_roundtrip(tmp_path):
         fo.stream_load(p)
 
 
+def test_stream_load_rejects_structurally_different_model(tmp_path):
+    """Two models with IDENTICAL value bytes but different diagonal
+    offsets must not cross-load (the fingerprint hashes structure too)."""
+    from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+
+    def ring(step):
+        n = 8
+        rows = np.arange(n, dtype=np.int64)
+        cols = (rows + step) % n
+        return HMM(
+            states_num=n,
+            emit_num=2,
+            trans_rows=rows,
+            trans_cols=cols,
+            trans_probs=to_modified_prob_np(np.full(n, 0.5)),
+            emissions=to_modified_prob_np(np.full((2, n), 0.5)),
+            start_probabilities_cols=np.array([0], dtype=np.int64),
+            start_probabilities=to_modified_prob_np(np.array([1.0])),
+        )
+
+    fd1, fd2 = _fused_for(ring(1)), _fused_for(ring(2))
+    assert fd1._model_key != fd2._model_key
+    st = fd1.stream_begin(np.array([0], dtype=np.int32))
+    p = str(tmp_path / "ring.npz")
+    fd1.stream_save(st, p)
+    with pytest.raises(ValueError, match="different model"):
+        fd2.stream_load(p)
+
+
 def test_stream_validation():
     hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
     fd = _fused_for(hmm)
