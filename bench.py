@@ -14,12 +14,28 @@ and enqueued back-to-back with ONE blocking drain (the axon tunnel adds
 ~25 ms per blocking call); per-batch data differs so the runtime cannot
 memoize repeats.
 
-``vs_baseline`` is the structured/fused-kernel throughput over the dense
-XLA path on the same chip (the internal non-specialized library baseline;
-the reference publishes no numbers, BASELINE.md). If the dense mode fails
-or times out, ``vs_baseline`` is null rather than a fabricated 1.0.
+``vs_baseline`` is a **workload-level serving comparison**, not a
+same-shape kernel ratio: the fused path is measured at its serving
+configuration (8 pre-staged 512-lane full-occupancy batches) and the dense
+XLA baseline at *its* measured-best configuration (the 50-sequence
+workload as one batched program — wider dense batches only lose to HBM).
+Each mode gets its best occupancy; the ratio therefore reflects what a
+user switching paths observes, and conflates kernel speedup with batching
+policy by design (`baseline_mode` in the JSON records this). If the dense
+mode fails or times out, ``vs_baseline`` is null rather than a fabricated
+1.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The JSON line also prints the speed-of-light accounting for the headline:
+``us_per_step`` (measured wall µs per 512-lane decode step) against
+``floor_us_per_step`` — the measured 3.33 µs/step irreducible quantum
+(carry read-modify-write + grid orchestration for 4×128-lane blocks;
+BASELINE.md combined-ablation table). ``floor_utilization`` =
+floor/measured: the fraction of each step that is the irreducible floor —
+the remaining fraction is VMEM-bandwidth-bound streaming measured at
+≈7.8 TB/s effective, so values ≈0.3 with ~11 µs/step mean the kernel sits
+at the bandwidth roofline, not at a tuning deficit.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -118,6 +134,8 @@ def main() -> None:
 
                 sec = _median_time(run_structured)
                 results["structured"] = N_BATCHES * LANES * T_LEN / sec
+                # wall µs per 512-lane step (N_BATCHES×T_LEN steps total)
+                results["us_per_step"] = sec * 1e6 / (N_BATCHES * T_LEN)
             break
         except TimeoutError as exc:  # pragma: no cover - stalled compile
             print(
@@ -142,10 +160,14 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - transient env failures
         print(f"[bench] dense mode failed: {exc}", file=sys.stderr)
 
-    if not results:
+    if "structured" not in results and "dense" not in results:
         raise SystemExit("all benchmark modes failed")
-    value = max(results.values())
+    value = max(results.get("structured", 0.0), results.get("dense", 0.0))
     vs = value / results["dense"] if results.get("dense") else None
+    us_per_step = results.get("us_per_step")
+    # 3.33 µs/step: measured irreducible per-step quantum at 512 lanes
+    # (4 × 0.83 µs per 128-lane block·step — BASELINE.md ablation floor).
+    floor = 3.33
     print(
         json.dumps(
             {
@@ -153,6 +175,14 @@ def main() -> None:
                 "value": round(value, 1),
                 "unit": "symbols/s",
                 "vs_baseline": round(vs, 3) if vs is not None else None,
+                "baseline_mode": "dense-XLA 50-seq batch at its own best "
+                "occupancy (workload-level serving comparison, not a "
+                "same-shape kernel ratio)",
+                "us_per_step": round(us_per_step, 2) if us_per_step else None,
+                "floor_us_per_step": floor,
+                "floor_utilization": (
+                    round(floor / us_per_step, 3) if us_per_step else None
+                ),
             }
         )
     )

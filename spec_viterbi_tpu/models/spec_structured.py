@@ -96,7 +96,9 @@ class StructuredSpecializedViterbi:
 
         cached = None
         if self.cache is not None:
-            cached = self.cache.load(hmm.fingerprint(), self.level, n)
+            cached = self.cache.load(hmm.fingerprint(), self.level, n, kind="struct")
+        if cached is not None and "l1_offsets" not in cached:
+            cached = None  # foreign/old schema under this key: rebuild
         if cached is not None:
             l1_offsets = tuple(int(d) for d in cached["l1_offsets"])
             all_offsets = tuple(int(d) for d in cached["tuple_offsets"])
@@ -121,6 +123,7 @@ class StructuredSpecializedViterbi:
                         "dv1": dv1, "uu1": uu1, "ww1": ww1,
                         "dv": dv, "uu": uu, "ww": ww,
                     },
+                    kind="struct",
                 )
 
         self.tuple_offsets = tuple(all_offsets)

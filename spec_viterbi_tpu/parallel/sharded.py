@@ -104,15 +104,24 @@ def decode_batch_dp(
 # --------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
 def make_fused_dp(fd, mesh: Mesh, masked: bool = True):
     """Jitted (scores_fn, path_fn) running ``fd``'s fused kernels DP-sharded.
 
-    ``fd`` is a :class:`~spec_viterbi_tpu.ops.fused_pallas.FusedStructuredDecoder`
-    (hashable by identity; its operator arrays are small VMEM-resident
-    constants). Inputs are globally shaped [T, B] / [1, B] with the lane
+    ``fd`` is a :class:`~spec_viterbi_tpu.ops.fused_pallas.FusedStructuredDecoder`.
+    Inputs are globally shaped [T, B] / [1, B] with the lane
     axis sharded over ``data``; each shard must be a multiple of 128 lanes.
+
+    The jitted pair is memoized **on the decoder instance** (keyed by
+    (mesh, masked)) rather than in a module-level cache, so dropping the
+    decoder frees its device-resident operators and compiled executables —
+    a process-lifetime ``lru_cache`` here would pin every decoder's HBM
+    forever in a long-lived service.
     """
+    cache = fd.__dict__.setdefault("_dp_fn_cache", {})
+    key = (mesh, masked)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     from jax.sharding import PartitionSpec as P  # local alias
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -138,7 +147,9 @@ def make_fused_dp(fd, mesh: Mesh, masked: bool = True):
     def path_body(seqs_t, lengths):
         return fd._path_core(seqs_t, lengths, masked)
 
-    return jax.jit(scores_body), jax.jit(path_body)
+    out = (jax.jit(scores_body), jax.jit(path_body))
+    cache[key] = out
+    return out
 
 
 def _fused_dp_stage(fd, seqs, mesh):

@@ -35,16 +35,43 @@ class OperatorCache:
         self.cache_dir = cache_dir or os.path.join(
             os.path.expanduser("~"), ".cache", "spec_viterbi_tpu"
         )
+        self._sweep_stale_tmp()
 
-    def _path(self, fingerprint: str, level: int, padded: int) -> str:
+    def _sweep_stale_tmp(self, max_age_s: float = 3600.0) -> None:
+        """Remove orphaned ``*.tmp`` staging directories left by a process
+        that died mid-``store`` (the async level-3 publish writes ~1.3 GB;
+        an abort would otherwise accumulate on disk forever). Only dirs
+        older than ``max_age_s`` are swept so a live concurrent writer is
+        never disturbed."""
+        import time
+
+        try:
+            entries = os.listdir(self.cache_dir)
+        except OSError:
+            return
+        now = time.time()
+        for name in entries:
+            if not name.endswith(".tmp"):
+                continue
+            p = os.path.join(self.cache_dir, name)
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+    def _path(self, fingerprint: str, level: int, padded: int, kind: str) -> str:
+        # `kind` namespaces incompatible operator schemas (the dense
+        # specializer stores start_ops/ops_id; the structured one stores
+        # l1_offsets/dv/uu/ww) so the two can never collide on one entry.
         return os.path.join(
             self.cache_dir,
-            f"ops_v{_FORMAT_VERSION}_{fingerprint}_L{level}_N{padded}",
+            f"ops_v{_FORMAT_VERSION}_{kind}_{fingerprint}_L{level}_N{padded}",
         )
 
-    def load(self, fingerprint: str, level: int, padded: int):
+    def load(self, fingerprint: str, level: int, padded: int, kind: str = "dense"):
         """Returns dict of (memory-mapped) arrays or None on miss/corruption."""
-        path = self._path(fingerprint, level, padded)
+        path = self._path(fingerprint, level, padded, kind)
         if not os.path.isdir(path):
             return None
         try:
@@ -59,7 +86,8 @@ class OperatorCache:
             return None
 
     def store_async(
-        self, fingerprint: str, level: int, padded: int, arrays: dict
+        self, fingerprint: str, level: int, padded: int, arrays: dict,
+        kind: str = "dense",
     ) -> "threading.Thread":
         """Publish in a background thread (the level-3 Pfam stack is
         ~1.3 GB — a synchronous write would double ``spec_with`` cold
@@ -70,15 +98,18 @@ class OperatorCache:
 
         t = threading.Thread(
             target=self.store,
-            args=(fingerprint, level, padded, arrays),
+            args=(fingerprint, level, padded, arrays, kind),
             daemon=True,
         )
         t.start()
         return t
 
-    def store(self, fingerprint: str, level: int, padded: int, arrays: dict) -> None:
+    def store(
+        self, fingerprint: str, level: int, padded: int, arrays: dict,
+        kind: str = "dense",
+    ) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
-        path = self._path(fingerprint, level, padded)
+        path = self._path(fingerprint, level, padded, kind)
         tmp = tempfile.mkdtemp(dir=self.cache_dir, suffix=".tmp")
         try:
             for k, a in arrays.items():
