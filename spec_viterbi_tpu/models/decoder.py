@@ -308,38 +308,54 @@ class ViterbiDecoder:
         via checkpoint + rematerialize (long-context extension; the
         reference requires whole sequences in memory, ``Viterbi_impl.h:8``).
 
-        Structured mode with a fused-eligible operator only. Off-TPU the
-        engine runs the kernels in interpret mode — functionally exact but
-        slow; pass ``interpret`` explicitly to override the default.
+        Works for EVERY model: fused-eligible operators get the Pallas
+        engine (interpret mode off-TPU — functionally exact but slow; pass
+        ``interpret`` explicitly to override), everything else — irregular
+        operators, dense-mode decoders, ``use_pallas=False`` pins — gets
+        the XLA structured fallback engine
+        (:class:`~spec_viterbi_tpu.models.streaming_xla.XLAStreamDecoder`),
+        which implements the same protocol on the ``structured_mv_batch``
+        scan. The two engines' persisted stream states are deliberately
+        not interchangeable (different carry encodings; ``stream_load``
+        rejects cross-engine states).
         """
-        if self._use_pallas is False:
-            # an explicit pin means "cross-check on the XLA structured
-            # path"; silently handing back the forbidden kernel would
-            # defeat the pin
-            raise ValueError(
-                "streaming uses the fused Pallas engine, but this decoder "
-                "was constructed with use_pallas=False"
+        sop = self._sop
+        use_fused = (
+            self._use_pallas is not False
+            and sop is not None
+            and fused_pallas.fused_eligible(sop)
+        )
+        if use_fused:
+            if self._fused is not None and interpret in (None, False):
+                return self._fused
+            if interpret is None:
+                interpret = jax.default_backend() != "tpu"
+            cached = getattr(self, "_stream_engine", None)
+            if cached is None or cached.interpret != interpret:
+                n = sop.n
+                cached = fused_pallas.FusedStructuredDecoder(
+                    sop,
+                    self.hmm.emission_matrix(pad_to=n),
+                    self.hmm.start_vector(pad_to=n),
+                    interpret=interpret,
+                )
+                self._stream_engine = cached
+            return cached
+        # universal fallback: any operator (dense-mode decoders build the
+        # decomposition on demand — from_hmm always yields a valid one,
+        # worst case all-residual)
+        cached = getattr(self, "_stream_engine_xla", None)
+        if cached is None:
+            from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+
+            if sop is None:
+                sop = StructuredOperator.from_hmm(self.hmm, pad_to=self.dev.padded)
+            cached = XLAStreamDecoder(
+                sop,
+                self.hmm.emission_matrix(pad_to=sop.n),
+                self.hmm.start_vector(pad_to=sop.n),
             )
-        if self._fused is not None and interpret in (None, False):
-            return self._fused
-        if self.mode != "structured":
-            raise ValueError("streaming decode needs mode='structured'")
-        if not fused_pallas.fused_eligible(self._sop):
-            raise ValueError(
-                "operator too irregular for the fused streaming engine"
-            )
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-        cached = getattr(self, "_stream_engine", None)
-        if cached is None or cached.interpret != interpret:
-            n = self._sop.n
-            cached = fused_pallas.FusedStructuredDecoder(
-                self._sop,
-                self.hmm.emission_matrix(pad_to=n),
-                self.hmm.start_vector(pad_to=n),
-                interpret=interpret,
-            )
-            self._stream_engine = cached
+            self._stream_engine_xla = cached
         return cached
 
     def prepare_batch(self, seqs: list[np.ndarray]):

@@ -360,7 +360,225 @@ def _run_path_finalize(state: "PathStreamState", extract, last, block):
     return np.asarray(scores_d)[: state.b_real], path.T
 
 
-class FusedStructuredDecoder:
+class _StreamAPI:
+    """The streaming-decode protocol, shared by every stream engine.
+
+    ``stream_begin/feed/scores`` (constant-memory scores over unbounded
+    input), the ``stream_*_path`` family (exact paths via checkpoint +
+    rematerialize), and ``stream_save/load`` persistence. Engines provide
+    the compute hooks (``_jit_begin``, ``_jit_feed``, ``_jit_extract``,
+    ``_jit_last``, ``_jit_path_block``), plus ``emit_num``/``n``/
+    ``_sym_dtype``/``_model_key``/``path_supported``. Two engines exist:
+    the fused Pallas kernel (:class:`FusedStructuredDecoder`, the TPU fast
+    path) and the XLA structured fallback
+    (:class:`~spec_viterbi_tpu.models.streaming_xla.XLAStreamDecoder`,
+    which accepts ANY operator) — keeping the protocol in one place means
+    the long-context API can never be narrower than the parity decode API
+    (``Viterbi_impl.h:8`` takes whole sequences; streaming is the
+    extension).
+    """
+
+    def stream_begin(self, first_symbols: np.ndarray) -> "StreamState":
+        """[B] first symbols → streaming state (device carry [Np, B_pad])."""
+        syms = validate_obs_seq(first_symbols, self.emit_num)
+        if len(syms) == 0:
+            raise ValueError("cannot stream an empty lane set")
+        return StreamState(self._jit_begin(jnp.asarray(syms)), len(syms))
+
+    def stream_feed(self, state: "StreamState", chunk: np.ndarray) -> "StreamState":
+        """Advance the carry by a [T_c, B] block of symbols (uniform lanes;
+        per-lane raggedness is the batch API's job, not streaming's).
+
+        The chunk is padded to the ``quantize_t`` length grid and run with
+        the masked step (padding steps freeze the carry — bit-identical
+        to the unpadded run), so arbitrary arriving chunk sizes compile at
+        most ~2 program shapes per octave instead of one per distinct
+        ``T_c`` (a fresh shape is a 30-200 s remote compile on a tunneled
+        deployment)."""
+        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
+        if prep is None:
+            return state
+        chunk, t_c = prep
+        return StreamState(
+            self._feed_quantized(state.carry, chunk, t_c), state.b_real
+        )
+
+    def _prep_stream_chunk(self, carry, b_real: int, chunk):
+        """Validate + lane-pad a streaming chunk → ([T_c, B_pad], t_c)."""
+        chunk = np.asarray(chunk, dtype=np.int32)
+        if chunk.ndim != 2 or chunk.shape[1] != b_real:
+            raise ValueError(f"chunk must be [T_c, {b_real}], got {chunk.shape}")
+        t_c = chunk.shape[0]
+        if t_c == 0:
+            return None
+        validate_obs_seq(chunk.reshape(-1), self.emit_num)
+        b_pad = carry.shape[1]
+        if b_pad != chunk.shape[1]:  # padding lanes see symbol 0 — discarded
+            chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
+        return chunk, t_c
+
+    def _stage_quantized(self, chunk, t_c: int, put=None):
+        """T-quantize + narrow-upload a lane-padded [t_c, B_pad] chunk →
+        (syms_dev, lengths_dev). THE one copy of the chunk-staging
+        protocol (scores stream, path stream, and the DP-sharded stream
+        via its ``put`` placement hook all use it).
+
+        The masked keep-condition is (step + 1) < lengths (the batch
+        path's obs starts at symbol 1); chunk steps are absolute, so
+        ``t_c + 1`` applies exactly steps 0..t_c-1 and freezes the
+        quantization pad."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        t_q = quantize_t(t_c)
+        if t_q != t_c:  # padding steps are masked off via lengths
+            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
+        lengths = np.full((1, chunk.shape[1]), t_c + 1, np.int32)
+        syms = chunk.astype(self._sym_dtype)
+        if put is None:
+            return jnp.asarray(syms), jnp.asarray(lengths)
+        return put(syms), put(lengths)
+
+    def _feed_quantized(self, carry, chunk, t_c: int):
+        """Advance the carry by a lane-padded [t_c, B_pad] chunk."""
+        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
+        return self._jit_feed(carry, syms_d, lengths_d)
+
+    def stream_scores(self, state: "StreamState") -> np.ndarray:
+        """Extract current [B, Np] score vectors (+inf restored); the
+        state stays valid — peeking mid-stream is allowed."""
+        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
+
+    # ---- streaming EXACT-PATH decode: checkpoint + rematerialize ----
+    #
+    # Exact full-path output needs every step's backpointer, but one
+    # device-resident [T, Np, B] pointer tensor caps T at the HBM budget.
+    # Streaming instead checkpoints the O(Np·B) carry at each chunk
+    # boundary during the forward pass (scores math only — no
+    # backpointers), then ``finalize`` re-runs the pointer-producing pass
+    # one chunk at a time in REVERSE, backtracing across chunk boundaries.
+    # Device memory stays O(chunk) regardless of total length; total
+    # device work is 2× the forward pass — the jax.checkpoint/
+    # rematerialization trade applied to Viterbi backtrace. No reference
+    # analog (the reference has no backtrace at all, Viterbi_impl.h:8-9);
+    # paths are bit-identical to the one-shot path decode and the NumPy
+    # oracle.
+
+    def _check_path_stream(self) -> None:
+        """Engine veto hook for path streaming (pointer-dtype limits)."""
+
+    def stream_begin_path(self, first_symbols: np.ndarray) -> "PathStreamState":
+        """[B] first symbols → path-streaming state."""
+        self._check_path_stream()
+        syms = validate_obs_seq(first_symbols, self.emit_num)
+        if len(syms) == 0:
+            raise ValueError("cannot stream an empty lane set")
+        return PathStreamState(self._jit_begin(jnp.asarray(syms)), len(syms), (), ())
+
+    def stream_feed_path(
+        self, state: "PathStreamState", chunk: np.ndarray
+    ) -> "PathStreamState":
+        """Advance by a [T_c, B] block, checkpointing the pre-chunk carry.
+
+        The forward pass runs the cheap scores step (identical carry
+        math to the pointer pass); backpointers for this chunk only
+        materialize during ``stream_path_finalize``. The chunk's quantized
+        length must fit the single-call backpointer budget
+        (``path_supported``) since finalize re-runs it as one call."""
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
+        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
+        if prep is None:
+            return state
+        chunk, t_c = prep
+        b_pad = chunk.shape[1]
+        t_q = quantize_t(t_c)
+        if not self.path_supported(t_q + 1, batch=b_pad):
+            raise ValueError(
+                f"path chunk of {t_c} symbols ({t_q} quantized) exceeds the "
+                f"backpointer budget at {b_pad} lanes; feed smaller chunks"
+            )
+        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
+        return PathStreamState(
+            self._jit_feed(state.carry, syms_d, lengths_d),
+            state.b_real,
+            state.checkpoints + (state.carry,),
+            state.chunks + (StreamChunk(syms_d, lengths_d, t_c),),
+        )
+
+    def stream_path_scores(self, state: "PathStreamState") -> np.ndarray:
+        """Current [B, Np] scores (peeking is allowed; state stays valid)."""
+        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
+
+    def stream_path_finalize(
+        self, state: "PathStreamState"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (scores [B, Np], paths [B, T_total]), T_total = 1 + Σ chunk.
+
+        Re-runs the pointer pass per chunk in reverse order; the state is
+        not consumed — feeding may continue afterwards."""
+        return _run_path_finalize(
+            state,
+            lambda c: self._jit_extract(c, b_real=state.b_real),
+            self._jit_last,
+            lambda ck, ch, ln, bd: self._jit_path_block(
+                ck, ch, ln, bd, b_real=state.b_real
+            ),
+        )
+
+    # ---- stream-state persistence (checkpoint/resume across processes) --
+    #
+    # The carry IS the whole forward state, so a stream survives process
+    # restarts by writing it to disk — the streaming analog of the
+    # operator cache (SURVEY.md §5 checkpoint/resume; the reference
+    # rebuilds everything from scratch every run).
+
+    def stream_save(self, state, path: str) -> None:
+        """Persist a StreamState or PathStreamState to ``path`` (.npz)."""
+        payload = {
+            "carry": np.asarray(state.carry),
+            "b_real": np.int64(state.b_real),
+            "model_key": np.bytes_(self._model_key.encode()),
+        }
+        if isinstance(state, PathStreamState):
+            payload["n_chunks"] = np.int64(len(state.chunks))
+            for k, (ck, rec) in enumerate(zip(state.checkpoints, state.chunks)):
+                payload[f"ckpt_{k}"] = np.asarray(ck)
+                payload[f"chunk_{k}"] = np.asarray(rec.syms)
+                payload[f"tc_{k}"] = np.int64(rec.t_c)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)  # atomic publish
+
+    def stream_load(self, path: str):
+        """Load a stream state saved by :meth:`stream_save`; resumes
+        bit-identically (the carry is the complete forward state)."""
+        with np.load(path) as z:
+            if bytes(z["model_key"]).decode() != self._model_key:
+                raise ValueError(
+                    "stream state was saved for a different model/decoder"
+                )
+            carry = jnp.asarray(z["carry"])
+            b_real = int(z["b_real"])
+            if "n_chunks" not in z:
+                return StreamState(carry, b_real)
+            n_chunks = int(z["n_chunks"])
+            ckpts = tuple(jnp.asarray(z[f"ckpt_{k}"]) for k in range(n_chunks))
+            b_pad = carry.shape[1]
+            chunks = []
+            for k in range(n_chunks):
+                t_c = int(z[f"tc_{k}"])
+                chunks.append(
+                    StreamChunk(
+                        jnp.asarray(z[f"chunk_{k}"]),
+                        jnp.full((1, b_pad), t_c + 1, jnp.int32),
+                        t_c,
+                    )
+                )
+            return PathStreamState(carry, b_real, ckpts, tuple(chunks))
+
+
+class FusedStructuredDecoder(_StreamAPI):
     """Whole-sequence fused decoder for one HMM (batched, scores only)."""
 
     def __init__(
@@ -733,201 +951,9 @@ class FusedStructuredDecoder:
     # materializes. No reference analog (run_Viterbi takes the full
     # sequence, Viterbi_impl.h:8); this is the serving/long-context form.
 
-    def stream_begin(self, first_symbols: np.ndarray) -> "StreamState":
-        """[B] first symbols → streaming state (device carry [Np, B_pad])."""
-        syms = validate_obs_seq(first_symbols, self.emit_num)
-        if len(syms) == 0:
-            raise ValueError("cannot stream an empty lane set")
-        return StreamState(self._jit_begin(jnp.asarray(syms)), len(syms))
-
-    def stream_feed(self, state: "StreamState", chunk: np.ndarray) -> "StreamState":
-        """Advance the carry by a [T_c, B] block of symbols (uniform lanes;
-        per-lane raggedness is the batch API's job, not streaming's).
-
-        The chunk is padded to the ``quantize_t`` length grid and run with
-        the masked kernel (padding steps freeze the carry — bit-identical
-        to the unpadded run), so arbitrary arriving chunk sizes compile at
-        most ~2 kernel shapes per octave instead of one per distinct
-        ``T_c`` (a fresh shape is a 30-200 s remote compile on a tunneled
-        deployment)."""
-        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
-        if prep is None:
-            return state
-        chunk, t_c = prep
-        return StreamState(
-            self._feed_quantized(state.carry, chunk, t_c), state.b_real
-        )
-
-    def _prep_stream_chunk(self, carry, b_real: int, chunk):
-        """Validate + lane-pad a streaming chunk → ([T_c, B_pad], t_c)."""
-        chunk = np.asarray(chunk, dtype=np.int32)
-        if chunk.ndim != 2 or chunk.shape[1] != b_real:
-            raise ValueError(f"chunk must be [T_c, {b_real}], got {chunk.shape}")
-        t_c = chunk.shape[0]
-        if t_c == 0:
-            return None
-        validate_obs_seq(chunk.reshape(-1), self.emit_num)
-        b_pad = carry.shape[1]
-        if b_pad != chunk.shape[1]:  # padding lanes see symbol 0 — discarded
-            chunk = np.pad(chunk, ((0, 0), (0, b_pad - chunk.shape[1])))
-        return chunk, t_c
-
-    def _stage_quantized(self, chunk, t_c: int, put=None):
-        """T-quantize + narrow-upload a lane-padded [t_c, B_pad] chunk →
-        (syms_dev, lengths_dev). THE one copy of the chunk-staging
-        protocol (scores stream, path stream, and the DP-sharded stream
-        via its ``put`` placement hook all use it).
-
-        The masked keep-condition is (step + 1) < lengths (the batch
-        path's obs starts at symbol 1); chunk steps are absolute, so
-        ``t_c + 1`` applies exactly steps 0..t_c-1 and freezes the
-        quantization pad."""
-        from spec_viterbi_tpu.utils.batching import quantize_t
-
-        t_q = quantize_t(t_c)
-        if t_q != t_c:  # padding steps are masked off via lengths
-            chunk = np.pad(chunk, ((0, t_q - t_c), (0, 0)))
-        lengths = np.full((1, chunk.shape[1]), t_c + 1, np.int32)
-        syms = chunk.astype(self._sym_dtype)
-        if put is None:
-            return jnp.asarray(syms), jnp.asarray(lengths)
-        return put(syms), put(lengths)
-
-    def _feed_quantized(self, carry, chunk, t_c: int):
-        """Advance the carry by a lane-padded [t_c, B_pad] chunk."""
-        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
-        return self._jit_feed(carry, syms_d, lengths_d)
-
-    def stream_scores(self, state: "StreamState") -> np.ndarray:
-        """Extract current [B, Np] score vectors (+inf restored); the
-        state stays valid — peeking mid-stream is allowed."""
-        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
-
-    # ---- streaming EXACT-PATH decode: checkpoint + rematerialize ----
-    #
-    # Exact full-path output needs every step's backpointer, but one
-    # device-resident [T, Np, B] int16 tensor caps T at the HBM budget
-    # (MAX_PATH_BYTES). Streaming instead checkpoints the O(Np·B) carry at
-    # each chunk boundary during the forward pass (scores kernel only — no
-    # backpointers), then ``finalize`` re-runs the path kernel one chunk
-    # at a time in REVERSE, backtracing across chunk boundaries. Device
-    # memory stays O(chunk) regardless of total length; total device work
-    # is 2× the forward pass — the jax.checkpoint/rematerialization trade
-    # applied to Viterbi backtrace. No reference analog (the reference has
-    # no backtrace at all, Viterbi_impl.h:8-9); paths are bit-identical to
-    # the one-shot path kernel and the NumPy oracle.
-
-    def stream_begin_path(self, first_symbols: np.ndarray) -> "PathStreamState":
-        """[B] first symbols → path-streaming state."""
+    def _check_path_stream(self) -> None:
         if self.n > np.iinfo(np.int16).max:
             raise ValueError("path streaming needs int16-addressable states")
-        syms = validate_obs_seq(first_symbols, self.emit_num)
-        if len(syms) == 0:
-            raise ValueError("cannot stream an empty lane set")
-        return PathStreamState(self._jit_begin(jnp.asarray(syms)), len(syms), (), ())
-
-    def stream_feed_path(
-        self, state: "PathStreamState", chunk: np.ndarray
-    ) -> "PathStreamState":
-        """Advance by a [T_c, B] block, checkpointing the pre-chunk carry.
-
-        The forward pass runs the cheap scores kernel (identical carry
-        math to the path kernel); backpointers for this chunk only
-        materialize during ``stream_path_finalize``. The chunk's quantized
-        length must fit the single-call backpointer budget
-        (``path_supported``) since finalize re-runs it as one path call."""
-        from spec_viterbi_tpu.utils.batching import quantize_t
-
-        prep = self._prep_stream_chunk(state.carry, state.b_real, chunk)
-        if prep is None:
-            return state
-        chunk, t_c = prep
-        b_pad = chunk.shape[1]
-        t_q = quantize_t(t_c)
-        if not self.path_supported(t_q + 1, batch=b_pad):
-            raise ValueError(
-                f"path chunk of {t_c} symbols ({t_q} quantized) exceeds the "
-                f"backpointer budget at {b_pad} lanes; feed smaller chunks"
-            )
-        syms_d, lengths_d = self._stage_quantized(chunk, t_c)
-        return PathStreamState(
-            self._jit_feed(state.carry, syms_d, lengths_d),
-            state.b_real,
-            state.checkpoints + (state.carry,),
-            state.chunks + (StreamChunk(syms_d, lengths_d, t_c),),
-        )
-
-    def stream_path_scores(self, state: "PathStreamState") -> np.ndarray:
-        """Current [B, Np] scores (peeking is allowed; state stays valid)."""
-        return np.asarray(self._jit_extract(state.carry, b_real=state.b_real))
-
-    def stream_path_finalize(
-        self, state: "PathStreamState"
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """→ (scores [B, Np], paths [B, T_total]), T_total = 1 + Σ chunk.
-
-        Re-runs the path kernel per chunk in reverse order; the state is
-        not consumed — feeding may continue afterwards."""
-        return _run_path_finalize(
-            state,
-            lambda c: self._jit_extract(c, b_real=state.b_real),
-            self._jit_last,
-            lambda ck, ch, ln, bd: self._jit_path_block(
-                ck, ch, ln, bd, b_real=state.b_real
-            ),
-        )
-
-    # ---- stream-state persistence (checkpoint/resume across processes) --
-    #
-    # The carry IS the whole forward state, so a stream survives process
-    # restarts by writing it to disk — the streaming analog of the
-    # operator cache (SURVEY.md §5 checkpoint/resume; the reference
-    # rebuilds everything from scratch every run).
-
-    def stream_save(self, state, path: str) -> None:
-        """Persist a StreamState or PathStreamState to ``path`` (.npz)."""
-        payload = {
-            "carry": np.asarray(state.carry),
-            "b_real": np.int64(state.b_real),
-            "model_key": np.bytes_(self._model_key.encode()),
-        }
-        if isinstance(state, PathStreamState):
-            payload["n_chunks"] = np.int64(len(state.chunks))
-            for k, (ck, rec) in enumerate(zip(state.checkpoints, state.chunks)):
-                payload[f"ckpt_{k}"] = np.asarray(ck)
-                payload[f"chunk_{k}"] = np.asarray(rec.syms)
-                payload[f"tc_{k}"] = np.int64(rec.t_c)
-        tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, path)  # atomic publish
-
-    def stream_load(self, path: str):
-        """Load a stream state saved by :meth:`stream_save`; resumes
-        bit-identically (the carry is the complete forward state)."""
-        with np.load(path) as z:
-            if bytes(z["model_key"]).decode() != self._model_key:
-                raise ValueError(
-                    "stream state was saved for a different model/decoder"
-                )
-            carry = jnp.asarray(z["carry"])
-            b_real = int(z["b_real"])
-            if "n_chunks" not in z:
-                return StreamState(carry, b_real)
-            n_chunks = int(z["n_chunks"])
-            ckpts = tuple(jnp.asarray(z[f"ckpt_{k}"]) for k in range(n_chunks))
-            b_pad = carry.shape[1]
-            chunks = []
-            for k in range(n_chunks):
-                t_c = int(z[f"tc_{k}"])
-                chunks.append(
-                    StreamChunk(
-                        jnp.asarray(z[f"chunk_{k}"]),
-                        jnp.full((1, b_pad), t_c + 1, jnp.int32),
-                        t_c,
-                    )
-                )
-            return PathStreamState(carry, b_real, ckpts, tuple(chunks))
 
     def _last_state(self, carry):
         """Per-lane argmin end state with +inf restored (ties → lowest)."""

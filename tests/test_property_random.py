@@ -148,6 +148,38 @@ def test_random_hmm_streaming_paths(seed):
         assert np.array_equal(paths[i], opath), (seed, i)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_random_hmm_streaming_universal(seed):
+    """EVERY random model streams (scores + exact paths) and matches the
+    oracle through ``ViterbiDecoder.streaming()`` — fused-eligible models
+    via the Pallas engine (interpret off-TPU), irregular ones via the XLA
+    fallback; the accessor must never raise (VERDICT r2 #3: the streaming
+    extension must not be narrower than the parity API)."""
+    rng = np.random.default_rng(300 + seed)
+    states = int(rng.integers(2, 120))
+    emit = int(rng.integers(2, 16))
+    deg = int(rng.integers(1, min(8, states) + 1))
+    hmm = _random_hmm(rng, states, emit, deg, zero_frac=0.1 * (seed % 3))
+
+    dec = ViterbiDecoder(hmm)  # auto mode: dense or structured
+    eng = dec.streaming()
+    t = int(rng.integers(2, 50))
+    b = int(rng.integers(1, 4))
+    block = rng.integers(0, emit, size=(t, b)).astype(np.int32)
+
+    state = eng.stream_begin_path(block[0])
+    pos = 1
+    while pos < t:
+        w = int(rng.integers(1, t - pos + 1))
+        state = eng.stream_feed_path(state, block[pos : pos + w])
+        pos += w
+    scores, paths = eng.stream_path_finalize(state)
+    for i in range(b):
+        want, opath = viterbi_path_oracle(hmm, block[:, i])
+        assert almost_equal_vec(scores[i, : hmm.states_num], want), (seed, i)
+        assert np.array_equal(paths[i], opath), (seed, i)
+
+
 def test_single_state_hmm():
     """Degenerate 1-state model decodes on every path."""
     rng = np.random.default_rng(0)

@@ -194,13 +194,78 @@ def test_decoder_streaming_accessor():
             got[i, : hmm.states_num], viterbi_scores_oracle(hmm, block[:, i])
         )
 
-    dense = ViterbiDecoder(hmm, mode="dense")
-    with pytest.raises(ValueError):
-        dense.streaming()
-    # an explicit use_pallas=False pin must not be silently overridden
-    pinned = ViterbiDecoder(hmm, mode="structured", use_pallas=False)
-    with pytest.raises(ValueError, match="use_pallas=False"):
-        pinned.streaming()
+    # streaming is universal: dense-mode decoders and use_pallas=False
+    # pins get the XLA fallback engine (never the Pallas kernel) and
+    # still produce oracle-correct scores
+    from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+
+    for dec2 in (
+        ViterbiDecoder(hmm, mode="dense"),
+        ViterbiDecoder(hmm, mode="structured", use_pallas=False),
+    ):
+        eng = dec2.streaming()
+        assert isinstance(eng, XLAStreamDecoder)
+        assert eng is dec2.streaming()  # cached
+        st = eng.stream_begin(block[0])
+        st = eng.stream_feed(st, block[1:])
+        got2 = eng.stream_scores(st)
+        for i in range(2):
+            assert almost_equal_vec(
+                got2[i, : hmm.states_num],
+                viterbi_scores_oracle(hmm, block[:, i]),
+            )
+
+
+def test_xla_stream_engine_full_protocol(tmp_path):
+    """The fallback engine honors the whole protocol on an operator the
+    fused kernel REJECTS (heavy residual): scores, exact paths across
+    chunk boundaries, peek, save/load, cross-engine load rejection."""
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+    from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+    from spec_viterbi_tpu.io.generators import generate_random_hmm
+    from spec_viterbi_tpu.ops.fused_pallas import fused_eligible
+
+    # dense-ish random model: decomposition keeps a large residual
+    hmm = generate_random_hmm(states_num=37, trans_per_state=9, emit_range=5,
+                              num_non_zero_start_probs=6, seed=7)
+    dec = ViterbiDecoder(hmm, mode="structured")
+    eng = dec.streaming()
+    assert isinstance(eng, XLAStreamDecoder)
+    assert not fused_eligible(eng.sop)
+
+    rng = np.random.default_rng(9)
+    t, b = 41, 3
+    block = rng.integers(0, hmm.emit_num, size=(t, b)).astype(np.int32)
+
+    st = eng.stream_begin_path(block[0])
+    st = eng.stream_feed_path(st, block[1:18])
+    mid = eng.stream_path_scores(st)  # peek must not perturb
+    st = eng.stream_feed_path(st, block[18:])
+    p = str(tmp_path / "xla.npz")
+    eng.stream_save(st, p)
+    st = eng.stream_load(p)
+    scores, paths = eng.stream_path_finalize(st)
+    assert paths.shape == (b, t)
+    for i in range(b):
+        want, opath = viterbi_path_oracle(hmm, block[:, i])
+        assert almost_equal_vec(scores[i, : hmm.states_num], want), i
+        assert np.array_equal(paths[i], opath), i
+        assert almost_equal_vec(
+            mid[i, : hmm.states_num],
+            viterbi_scores_oracle(hmm, block[:18, i]),
+        ), i
+
+    # a fused-engine state must not load into the XLA engine (different
+    # carry encodings would corrupt silently)
+    smooth = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    fd = _fused_for(smooth)
+    stf = fd.stream_begin(np.array([0], dtype=np.int32))
+    pf = str(tmp_path / "fused.npz")
+    fd.stream_save(stf, pf)
+    eng2 = ViterbiDecoder(smooth, use_pallas=False).streaming()
+    with pytest.raises(ValueError, match="different model"):
+        eng2.stream_load(pf)
 
 
 def test_stream_save_load_roundtrip(tmp_path):
