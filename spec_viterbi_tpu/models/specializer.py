@@ -218,7 +218,9 @@ class SpecializedViterbi:
 
         cached = None
         if self.cache is not None:
-            cached = self.cache.load(hmm.fingerprint(), self.level, np_states)
+            cached = self.cache.load(
+                hmm.fingerprint(), self.level, np_states, kind="dense"
+            )
         # "ops_id" (identity-slot format) — entries without it predate the
         # identity padding symbol and are rebuilt
         if cached is not None and "ops_id" in cached:
@@ -246,7 +248,9 @@ class SpecializedViterbi:
                 }
                 if self.level > 1:
                     arrays["tuple_ops"] = np.asarray(tuple_ops)
-                self.cache.store(hmm.fingerprint(), self.level, np_states, arrays)
+                self.cache.store(
+                    hmm.fingerprint(), self.level, np_states, arrays, kind="dense"
+                )
 
         self.start_ops = start_ops
         self.ops = ops
@@ -259,7 +263,60 @@ class SpecializedViterbi:
             tail_fn=lambda v, o, ops3: dispatch.step_mv(ops3[1][o], v),
             operands=(start_ops, ops, tuple_ops),
         )
+        self._build_decode_batch(start_ops, ops, tuple_ops)
         self._specialized = True
+
+    def _build_decode_batch(self, start_ops, ops, tuple_ops):
+        """Batched chunked decode over per-lane dense-operator gathers —
+        the dense mirror of ``spec_structured.decode_batch_uniform``
+        (VERDICT r2 #4: ``run_spec_batch`` must never be a host loop).
+
+        Each chunk step gathers every lane's tuple operator
+        (``tuple_ops[idx_b]`` → [B, Np, Np], the batched analog of
+        ``precalc_obs_handlers.at(tuple)``, GraphBLAS_spec_impl.cpp:67-81)
+        and applies one broadcast tropical matvec; sequential step count is
+        T/level like the scalar path, with the per-step operator read
+        amortized over nothing (each lane needs its own operator — the
+        cost model that makes the FACTORED structured form the production
+        path on TPU, BASELINE.md §specialization).
+        """
+        level, radix_e = self.level, self.emit_num + 1
+
+        @jax.jit
+        def decode_batch_uniform(seqs_t, operands):
+            start_ops, ops, tuple_ops = operands
+            v = start_ops[seqs_t[0]].T  # [Np, B]
+            rest = seqs_t[1:]
+            n_full = rest.shape[0] // level
+            tail = rest.shape[0] - n_full * level
+
+            def apply_gathered(v, g):
+                # g [B, Np, Np] per-lane operators; v [Np, B] carry
+                return jnp.min(g + v.T[:, None, :], axis=2).T
+
+            if n_full:
+                chunks = rest[: n_full * level].reshape(n_full, level, -1)
+                radix = radix_e ** jnp.arange(level, dtype=jnp.int32)
+                idxs = jnp.sum(chunks * radix[None, :, None], axis=1)  # [n_full, B]
+                v, _ = jax.lax.scan(
+                    lambda v, i: (apply_gathered(v, tuple_ops[i]), None), v, idxs
+                )
+            if tail:
+                v, _ = jax.lax.scan(
+                    lambda v, o: (apply_gathered(v, ops[o]), None),
+                    v,
+                    rest[n_full * level :],
+                )
+            return v.T
+
+        operands = (start_ops, ops, tuple_ops)
+        self._decode_batch_uniform = lambda seqs_t: decode_batch_uniform(
+            seqs_t, operands
+        )
+        # per-lane gathers materialize [B, Np, Np]; cap lanes per call so
+        # one scan step stays within a fixed HBM transient budget
+        n = int(ops.shape[1])
+        self._batch_lane_cap = max(1, int((1 << 30) // (n * n * 4)))
 
     def run_spec(self, seq: np.ndarray) -> np.ndarray:
         """``run_Viterbi_spec`` parity: final score vector for one sequence."""
@@ -274,12 +331,29 @@ class SpecializedViterbi:
     def run_spec_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
         """Batched specialized decode (DP extension of run_Viterbi_spec).
 
-        Level 1 rides the batched structured/fused path; higher levels fall
-        back to per-sequence decoding (per-lane tuple-operator gathers do
-        not vectorize profitably on TPU).
+        Level 1 rides the batched structured/fused path; higher levels run
+        the batched chunked scan over per-lane tuple-operator gathers
+        (:meth:`_build_decode_batch`), bucketed by exact length so the
+        chunk/tail boundaries stay positionally aligned, and lane-chunked
+        so the [B, Np, Np] gather transient fits a fixed budget.
         """
         if not self._specialized:
             raise RuntimeError("call spec_with(hmm) before run_spec_batch")
         if self._delegate is not None:
             return self._delegate.decode_batch(seqs)
-        return [self.run_spec(s) for s in seqs]
+        if not seqs:
+            return []
+        seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
+        out: list[np.ndarray | None] = [None] * len(seqs)
+        by_len: dict[int, list[int]] = {}
+        for i, s in enumerate(seqs):
+            by_len.setdefault(len(s), []).append(i)
+        cap = self._batch_lane_cap
+        for _, idxs in sorted(by_len.items()):
+            for k in range(0, len(idxs), cap):
+                part = idxs[k : k + cap]
+                batch = np.stack([seqs[i] for i in part], axis=1)  # [T, b]
+                v = np.asarray(self._decode_batch_uniform(jnp.asarray(batch)))
+                for j, i in enumerate(part):
+                    out[i] = v[j, : self.states_num]
+        return out
