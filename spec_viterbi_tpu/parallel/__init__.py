@@ -34,6 +34,7 @@ from spec_viterbi_tpu.parallel.structured_tp import (
     make_structured_tp_decode,
     structured_tp_supported,
 )
+from spec_viterbi_tpu.parallel.fused_tp import FusedTPDecoder, fused_tp_supported
 
 __all__ = [
     "DATA_AXIS",
@@ -60,4 +61,6 @@ __all__ = [
     "make_structured_dp_decode",
     "make_structured_tp_decode",
     "structured_tp_supported",
+    "FusedTPDecoder",
+    "fused_tp_supported",
 ]
