@@ -61,6 +61,10 @@ def main():
             ess,
             os.path.join(OUT_DIR, f"Viterbi_spec_bench_{ds}.dat"),
             levels=(1, 2),
+            # level 3 only for the structured store (O(E^L·N) — 1.3 GB at
+            # 2405 states where dense would need 176 GiB); the reference
+            # tests L3 but cannot bench it anywhere (test_helper.h:23)
+            struct_levels=(1, 2, 3),
             times_to_run=3,
             prep_times_to_run=3,
             max_spec_bytes=2 << 30,

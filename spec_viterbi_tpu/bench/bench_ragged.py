@@ -34,6 +34,8 @@ HEADERS = (
     "bucket_e2e",
     "whole_compute",
     "bucket_compute",
+    "path_whole_e2e",
+    "path_bucket_e2e",
 )
 
 
@@ -132,6 +134,34 @@ def benchmark_ragged(
     results += [
         get_median(sorted(comp_times[False])),
         get_median(sorted(comp_times[True])),
+    ]
+
+    # exact-path decode (scores + int16 backpointers + device backtrace):
+    # whole-batch pays the global max length per lane AND per backpointer
+    # byte — on big models the whole-batch bp tensor can exceed the HBM
+    # budget even lane-chunked; a NaN column records that policy honestly
+    # (same convention as the spec bench memory policy).
+    path_times: dict[bool, list[float]] = {False: [], True: []}
+    for bucketed in (False, True):
+        voff = 7000 if bucketed else 2000
+        try:
+            fd.decode_path_batch(
+                _workload(lens, hmm.emit_num, 998 + voff), bucketed=bucketed
+            )
+        except Exception:
+            path_times[bucketed] = None
+    for rep in range(times_to_run):
+        for bucketed in (False, True):
+            if path_times[bucketed] is None:
+                continue
+            voff = 7000 if bucketed else 2000
+            seqs = _workload(lens, hmm.emit_num, rep + voff)
+            t0 = time.perf_counter()
+            fd.decode_path_batch(seqs, bucketed=bucketed)
+            path_times[bucketed].append((time.perf_counter() - t0) * 1e3)
+    results += [
+        get_median(sorted(path_times[b])) if path_times[b] else float("nan")
+        for b in (False, True)
     ]
     return hmm.states_num, results
 

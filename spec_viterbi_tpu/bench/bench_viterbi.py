@@ -194,6 +194,7 @@ def benchmark_viterbi_spec_impls_to_dat_file(
     max_spec_bytes: int = 8 << 30,
     prep_times_to_run: int | None = None,
     verbose: bool = True,
+    struct_levels: tuple[int, ...] | None = None,
 ) -> dict[int, list[float]]:
     """Spec benchmark with paired prep/decode columns
     (``bench_Viterbi_spec.h:16-93``).
@@ -202,14 +203,24 @@ def benchmark_viterbi_spec_impls_to_dat_file(
     (GPU backends stop at level 1 for the 20-symbol corpus,
     ``bench_Viterbi_spec.h:37-47``): level L needs ``(E+1)^L·N²·4`` bytes
     of tuple operators; models over budget get NaN columns at that level.
+
+    ``struct_levels`` extends the STRUCTURED specializer past the dense
+    levels (defaults to ``levels``) — the per-impl level asymmetry mirrors
+    the reference's own (GraphBLAS L1-2, GPU backends L1, chosen by
+    memory; the structured store grows O(E^L·N) instead of O(E^L·N²), so
+    it can bench level 3 where the reference cannot run it at all —
+    ``test_helper.h:23`` tests L3 but never benches it).
     """
     from spec_viterbi_tpu.models.spec_structured import StructuredSpecializedViterbi
 
     seqs = read_emit_seq(ess_path)
-    impls = (("spec", SpecializedViterbi), ("spec_struct", StructuredSpecializedViterbi))
+    impls = (
+        ("spec", SpecializedViterbi, levels),
+        ("spec_struct", StructuredSpecializedViterbi, struct_levels or levels),
+    )
     headers = ["States"]
-    for name, _ in impls:
-        for level in levels:
+    for name, _, impl_levels in impls:
+        for level in impl_levels:
             headers += [f"{name}_{level}_prep", f"{name}_{level}"]
 
     max_sym = max((int(s.max()) for s in seqs if len(s)), default=-1)
@@ -230,8 +241,8 @@ def benchmark_viterbi_spec_impls_to_dat_file(
         if verbose:
             print(f"[bench-spec] {os.path.basename(path)} ({hmm.states_num} states)")
         row: list[float] = []
-        for name, cls in impls:
-            for level in levels:
+        for name, cls, impl_levels in impls:
+            for level in impl_levels:
                 # the dense specializer hits the reference's memory wall;
                 # the structured one stores O(N) vectors per component
                 need = cls.spec_memory_bytes(hmm.states_num, hmm.emit_num, level)

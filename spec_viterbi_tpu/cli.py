@@ -67,6 +67,9 @@ def _run_bench_datasets(args, bench_viterbi) -> None:
                 ess,
                 out,
                 levels=tuple(args.levels),
+                struct_levels=tuple(args.struct_levels)
+                if args.struct_levels
+                else None,
                 times_to_run=args.times,
                 max_states=args.max_states,
                 max_spec_bytes=args.max_spec_gb << 30,
@@ -184,7 +187,7 @@ def _cmd_bench_ragged(args) -> int:
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     benchmark_ragged_to_dat_file(
-        [args.chmm], args.ess, args.out, copies=args.copies, times_to_run=args.times
+        args.chmm, args.ess, args.out, copies=args.copies, times_to_run=args.times
     )
     print(f"wrote {args.out}")
     return 0
@@ -333,6 +336,14 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--times", type=int, default=10, help="runs per median")
     b.add_argument("--modes", nargs="+", default=["dense", "structured"])
     b.add_argument("--levels", nargs="+", type=int, default=[1, 2])
+    b.add_argument(
+        "--struct-levels",
+        nargs="+",
+        type=int,
+        default=[1, 2, 3],
+        help="levels for the structured specializer (O(E^L*N) store "
+        "benches level 3 where the dense form cannot)",
+    )
     b.add_argument("--max-states", type=int, default=None)
     b.add_argument("--max-spec-gb", type=int, default=8)
     b.add_argument("--skip-spec", action="store_true")
@@ -359,7 +370,16 @@ def build_parser() -> argparse.ArgumentParser:
         "bench-ragged",
         help="bucketed vs whole-batch decode of a length-skewed workload",
     )
-    rb.add_argument("--chmm", default="/root/reference/chmm_files/2405.chmm")
+    rb.add_argument(
+        "--chmm",
+        nargs="+",
+        default=[
+            "/root/reference/chmm_files/100.chmm",
+            "/root/reference/chmm_files/1200.chmm",
+            "/root/reference/chmm_files/2405.chmm",
+        ],
+        help="one .dat row per model (small/medium/large by default)",
+    )
     rb.add_argument(
         "--ess", default="/root/reference/ess_files/covid-19.ess"
     )

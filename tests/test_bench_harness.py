@@ -77,6 +77,7 @@ def test_spec_bench_driver_with_memory_policy(tmp_path):
         os.path.join(TEST_SEQS, "0_test_seq.ess"),
         str(out),
         levels=(1, 2),
+        struct_levels=(1, 2, 3),
         times_to_run=1,
         max_spec_bytes=0,  # force the over-budget path at every level
         verbose=False,
@@ -86,6 +87,7 @@ def test_spec_bench_driver_with_memory_policy(tmp_path):
         "States",
         "spec_1_prep", "spec_1", "spec_2_prep", "spec_2",
         "spec_struct_1_prep", "spec_struct_1", "spec_struct_2_prep", "spec_struct_2",
+        "spec_struct_3_prep", "spec_struct_3",
     ]
     for row in bench.values():
         assert all(np.isnan(v) for v in row)  # memory policy engaged
