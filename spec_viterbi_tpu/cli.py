@@ -103,6 +103,40 @@ def _cmd_decode(args) -> int:
         return 0
     if args.stream_chunk:
         return _decode_streaming(hmm, seqs, args)
+    if args.time_parallel:
+        # single-sequence latency path: lanes = time blocks
+        from spec_viterbi_tpu.ops.structured import StructuredOperator
+        from spec_viterbi_tpu.ops.time_parallel import (
+            TimeParallelDecoder,
+            time_parallel_supported,
+        )
+
+        sop = StructuredOperator.from_hmm(hmm)
+        if not time_parallel_supported(sop):
+            print(
+                "--time-parallel needs a single-diagonal operator "
+                "(ops/time_parallel.py)",
+                file=sys.stderr,
+            )
+            return 2
+        tp = TimeParallelDecoder(
+            sop,
+            hmm.emission_matrix(pad_to=sop.n),
+            hmm.start_vector(pad_to=sop.n),
+            k=args.time_parallel,
+        )
+        for i, s in enumerate(seqs):
+            if args.path:
+                scores, path = tp.decode_path(s)
+                print(f"seq {i}: best={np.min(scores):.4f} path={path.tolist()}")
+            else:
+                v = tp.decode(s)
+                head = " ".join(f"{x:.4f}" for x in v[:8])
+                print(
+                    f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] "
+                    f"min={np.min(v):.4f}"
+                )
+        return 0
     dec = ViterbiDecoder(hmm, mode=args.mode)
     if args.path:
         for i, (scores, path) in enumerate(dec.decode_path_batch(seqs)):
@@ -364,6 +398,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--stream-chunk", type=int, default=0,
                    help="decode via the streaming API in chunks of N "
                         "symbols (constant device memory over any length)")
+    d.add_argument("--time-parallel", type=int, default=0, metavar="K",
+                   help="decode each sequence time-parallel with K-step "
+                        "blocks mapped onto lanes (single-sequence "
+                        "latency path; single-diagonal operators)")
     d.set_defaults(fn=_cmd_decode)
 
     rb = sub.add_parser(
@@ -435,6 +473,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # SVT_PLATFORM=cpu forces the host backend (the baked sitecustomize
+    # overrides the standard JAX_PLATFORMS env var, so without this there
+    # is no way to run the CLI while the TPU tunnel is unreachable)
+    platform = os.environ.get("SVT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

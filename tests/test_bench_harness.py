@@ -93,6 +93,28 @@ def test_spec_bench_driver_with_memory_policy(tmp_path):
         assert all(np.isnan(v) for v in row)  # memory policy engaged
 
 
+def test_spec_bench_struct_level3_cell_runs(tmp_path):
+    """The spec_struct_3 cell must produce a REAL measurement within
+    budget (prep composes the L3 stack, decode runs the bucketed batched
+    path), not ride the NaN policy — pre-flight for the TPU artifact
+    sweep (VERDICT r2 #8)."""
+    out = tmp_path / "spec3.dat"
+    bench = benchmark_viterbi_spec_impls_to_dat_file(
+        TEST_CHMMS,
+        os.path.join(TEST_SEQS, "1_test_seq.ess"),
+        str(out),
+        levels=(1,),
+        struct_levels=(3,),
+        times_to_run=1,
+        verbose=False,
+    )
+    assert bench
+    for row in bench.values():
+        prep3, dec3 = row[-2], row[-1]
+        assert np.isfinite(prep3) and prep3 >= 0
+        assert np.isfinite(dec3) and dec3 >= 0
+
+
 def test_cli_info_and_sum_dat(tmp_path, capsys):
     from spec_viterbi_tpu.cli import main
 
