@@ -55,6 +55,7 @@ from spec_viterbi_tpu.ops.fused_pallas import (
     BIG,
     BIG_THRESHOLD,
     E_PAD,
+    _make_path_kernel,
     _make_unrolled_kernel,
 )
 from spec_viterbi_tpu.ops.structured import StructuredOperator
@@ -162,6 +163,7 @@ class FusedTPDecoder:
             pad_rows(np.asarray(pi, np.float32)[:, None], np.inf)[:, 0]
         )
         self._decode = self._build()
+        self._decode_path = self._build_path()
 
     def _pallas_win(self, v0, dv_win, em_win, obs, lengths):
         """One c-step fused-kernel run on a [n_win, B] state window."""
@@ -258,6 +260,161 @@ class FusedTPDecoder:
             return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out).T  # [B, block]
 
         return jax.jit(tp_scores)
+
+    def _path_pallas_win(self, v0, dv_win, em_win, obs, lengths):
+        """Path-kernel run on a window: (out [n_win, B], src [c, n_win, B]
+        int16 WINDOW-LOCAL source rows; frozen steps store identity)."""
+        n = self.n_win
+        steps, _, b = obs.shape
+        kernel = _make_path_kernel(self._sop_win, True)
+        d_cols = self._dv_pad.shape[1]
+        rv = jnp.full((n, 1), jnp.inf, jnp.float32)
+        cv = jnp.full((n, 1), jnp.inf, jnp.float32)
+        resv = jnp.full((1, 1), jnp.inf, jnp.float32)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // BB, steps),
+            in_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, d_cols), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, b), jnp.float32),
+                jax.ShapeDtypeStruct((steps, n, b), jnp.int16),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+            interpret=self.interpret,
+        )(v0, dv_win, rv, cv, resv, em_win, obs, lengths)
+
+    def _build_path(self):
+        """Exact-path TP decode with the backpointer tensor SHARDED over
+        state: each shard stores [T, block, B] int16 window-local pointers
+        — 1/K of the one-shot kernel's bp tensor, which is the dominant
+        device allocation of path decode (58 GiB at T=100k unsharded) —
+        and the backtrace walks backwards with a [1, B] ``pmin`` per step
+        (the pointer's owner shard contributes, others +inf).
+
+        Window-local pointer ``p`` on shard ``r`` is global row
+        ``p + r·block − h_lo``; dead states' normalized-0 pointers clamp
+        to global 0, reproducing the oracle's all-inf-row convention."""
+        mesh, c = self.mesh, self.chunk
+        block, h_lo, h_hi, n_win = self.block, self.h_lo, self.h_hi, self.n_win
+        n, shards = self.n, self.shards
+        d_cols, e_pad = self._dv_pad.shape[1], self.e_pad
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(None, STATE_AXIS), P(), P()),
+            check_vma=False,
+        )
+        def tp_path(dv_pad, em_pad, pi_pad, seqs_t, lengths):
+            r = jax.lax.axis_index(STATE_AXIS)
+            start = r * block
+            dv_win = jax.lax.dynamic_slice(dv_pad, (start, 0), (n_win, d_cols))
+            em_win = jax.lax.dynamic_slice(em_pad, (start, 0), (n_win, e_pad))
+            pi_win = jax.lax.dynamic_slice(pi_pad, (start,), (n_win,))
+            wrow = start + jax.lax.broadcasted_iota(jnp.int32, (n_win, 1), 0)
+            valid = (wrow >= h_lo) & (wrow < h_lo + n)
+
+            v_win = em_win[:, seqs_t[0]] + pi_win[:, None]
+            t_steps = seqs_t.shape[0] - 1
+            n_chunks = -(-t_steps // c)
+            obs = jnp.pad(seqs_t[1:], ((0, n_chunks * c - t_steps), (0, 0)))
+            obs = obs.reshape(n_chunks, c, 1, -1)
+            s0s = 1 + c * jnp.arange(n_chunks)
+
+            def chunk_body(v_win, xs):
+                obs_c, s0 = xs
+                len_c = jnp.clip(lengths[None, :] - s0 + 1, 1, c + 1).astype(
+                    jnp.int32
+                )
+                out_win, src_win = self._path_pallas_win(
+                    v_win, dv_win, em_win, obs_c, len_c
+                )
+                interior = out_win[h_lo : h_lo + block]
+                parts = []
+                if h_lo:
+                    lo = jax.lax.ppermute(
+                        interior[block - h_lo :],
+                        STATE_AXIS,
+                        [(i, (i + 1) % shards) for i in range(shards)],
+                    )
+                    parts.append(lo)
+                parts.append(interior)
+                if h_hi:
+                    hi = jax.lax.ppermute(
+                        interior[:h_hi],
+                        STATE_AXIS,
+                        [(i, (i - 1) % shards) for i in range(shards)],
+                    )
+                    parts.append(hi)
+                win = jnp.concatenate(parts, axis=0)
+                win = jnp.where(valid, win, jnp.inf)
+                return win, src_win[:, h_lo : h_lo + block, :]
+
+            v_win, srcs = jax.lax.scan(chunk_body, v_win, (obs, s0s))
+            srcs = srcs.reshape(n_chunks * c, block, -1)  # [T_pad, block, B]
+            out = v_win[h_lo : h_lo + block]
+            scores = jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)  # [block, B]
+
+            # global per-lane argmin end state (lowest index on ties):
+            # all-gather the [block, B] finals — N·B floats, once
+            full = jax.lax.all_gather(scores, STATE_AXIS)  # [K, block, B]
+            full = full.reshape(n, -1)
+            last = jnp.argmin(full, axis=0).astype(jnp.int32)[None, :]  # [1, B]
+
+            def back(state, src_t):  # state [1, B] global rows
+                local = state - r * block
+                owned = (local >= 0) & (local < block)
+                idx = jnp.clip(local, 0, block - 1)
+                ptr = jnp.take_along_axis(src_t, idx, axis=0).astype(jnp.int32)
+                ptr = jnp.maximum(ptr + r * block - h_lo, 0)
+                cand = jnp.where(owned, ptr, jnp.int32(2**30))
+                prev = jax.lax.pmin(cand, STATE_AXIS)
+                return prev, prev
+
+            _, rev = jax.lax.scan(back, last, srcs, reverse=True)
+            # rev[t] = state at position t; full path = concat(rev, last)
+            return scores.T, rev[:, 0, :], last
+
+        return jax.jit(tp_path)
+
+    def decode_path_batch(
+        self, seqs: list[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """[(scores, path)] per sequence — exact oracle tie-breaking, with
+        the backpointer tensor state-sharded across the mesh."""
+        if not seqs:
+            return []
+        seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
+        batch, lengths = pad_batch(seqs, BB, min_t=2)
+        scores, rev, last = self._decode_path(
+            self._dv_pad,
+            self._em_pad,
+            self._pi_pad,
+            jnp.asarray(batch.T.copy()),
+            jnp.asarray(lengths),
+        )
+        scores = np.asarray(scores)
+        full = np.concatenate([np.asarray(rev), np.asarray(last)], axis=0)
+        out = []
+        for i, s in enumerate(seqs):
+            out.append(
+                (scores[i, : self.states_num], full[: len(s), i].astype(np.int32))
+            )
+        return out
 
     def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
         """Batched TP decode; [B, Np] scores sliced per sequence."""

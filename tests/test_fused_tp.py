@@ -79,6 +79,39 @@ def test_fused_tp_matches_unsharded_kernel(offsets, chunk, shards):
     assert almost_equal_vec(got[-1], viterbi_scores_oracle(hmm, seqs[-1]))
 
 
+@pytest.mark.parametrize(
+    "offsets,chunk,shards",
+    [((1,), 8, 2), ((-1, 1), 8, 4), ((0, 2), 4, 2)],
+)
+def test_fused_tp_paths_match_oracle(offsets, chunk, shards):
+    """Exact paths with the backpointer tensor state-sharded: every
+    pointer is window-local on its owner shard; the backtrace pmin walk
+    must reproduce the oracle exactly (ties -> lowest global index)."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = banded_hmm(n=256, offsets=offsets, seed=11 + sum(abs(d) for d in offsets))
+    sop = _sop(hmm)
+    mesh = make_mesh(state=shards)
+    tp = FusedTPDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        mesh,
+        chunk=chunk,
+        interpret=True,
+    )
+    rng = np.random.default_rng(5)
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        for t in (2, chunk + 1, 3 * chunk - 1)
+    ]
+    got = tp.decode_path_batch(seqs)
+    for (sc, path), s in zip(got, seqs):
+        osc, opath = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(sc, osc), (offsets, len(s))
+        assert np.array_equal(path, opath), (offsets, len(s))
+
+
 def test_fused_tp_rejects_coupled_operators():
     """Pfam-style operators (dense rows/cols) need per-step exchange."""
     from conftest import CHMM_DIR
