@@ -158,7 +158,9 @@ class XLAStreamDecoder(_StreamAPI):
 
     def _extract(self, carry, b_real: int | None = None):
         out = carry.T  # already true +inf space
-        return out[:b_real] if b_real is not None else out
+        if b_real is not None:
+            out = out[:b_real]
+        return out[:, : self.states_num]  # same [B, states_num] as fused
 
     def path_supported(self, t_max: int, batch: int = SUBLANE) -> bool:
         """Whether one finalize block of this shape fits the pointer budget."""

@@ -107,6 +107,53 @@ def _stream_path_decode(hmm, seq, width: int = 53):
     return scores[0]
 
 
+_AUX_DECODERS: dict[tuple, object] = {}
+
+
+def _xla_stream_decode(hmm, seq, width: int = 41):
+    """Scores via the universal XLA streaming fallback engine (1 lane)."""
+    from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    key = ("xla_stream", hmm.fingerprint())
+    eng = _AUX_DECODERS.get(key)
+    if eng is None:
+        sop = StructuredOperator.from_hmm(hmm)
+        eng = XLAStreamDecoder(
+            sop,
+            hmm.emission_matrix(pad_to=sop.n),
+            hmm.start_vector(pad_to=sop.n),
+        )
+        # evict other models' decoders only (one model resident at a time)
+        for kk in list(_AUX_DECODERS):
+            if kk[1] != hmm.fingerprint():
+                del _AUX_DECODERS[kk]
+        _AUX_DECODERS[key] = eng
+    block = np.asarray(seq, np.int32)[:, None]
+    st = eng.stream_begin(block[0])
+    for pos in range(1, len(seq), width):
+        st = eng.stream_feed(st, block[pos : pos + width])
+    return eng.stream_scores(st)[0]
+
+
+def _time_parallel_decode(hmm, seq, k: int = 8):
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+    from spec_viterbi_tpu.ops.time_parallel import TimeParallelDecoder
+
+    key = ("time_parallel", hmm.fingerprint(), k)
+    tp = _AUX_DECODERS.get(key)
+    if tp is None:
+        sop = StructuredOperator.from_hmm(hmm)
+        tp = TimeParallelDecoder(
+            sop,
+            hmm.emission_matrix(pad_to=sop.n),
+            hmm.start_vector(pad_to=sop.n),
+            k=k,
+        )
+        _AUX_DECODERS[key] = tp
+    return tp.decode(seq)
+
+
 @pytest.fixture(scope="module")
 def sequences():
     seqs = read_emit_seq(os.path.join(ESS_DIR, "emit_3_3500_20.ess"))
@@ -155,6 +202,10 @@ def test_all_paths_agree(model, sequences):
             # chunk widths exercise the quantized masked feed.
             results["streaming"] = _stream_decode(hmm, seq)
             results["streaming_path"] = _stream_path_decode(hmm, seq)
+            # XLA fallback streaming engine (universal-streaming path)
+            results["streaming_xla"] = _xla_stream_decode(hmm, seq)
+            # time-parallel single-sequence path (lanes = time blocks)
+            results["time_parallel"] = _time_parallel_decode(hmm, seq)
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))
