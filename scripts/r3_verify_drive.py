@@ -67,15 +67,48 @@ def main() -> int:
         assert svt.almost_equal_vec(g, svt.viterbi_scores_oracle(small, s))
     print("dense spec batch OK", flush=True)
 
-    # fused TP on a banded model: REAL Mosaic kernel + shard_map (1 device
-    # mesh is degenerate; use state=1? fused_tp needs >=2 shards — on one
-    # real chip this can only run interpret or be skipped)
-    import jax as _jax
+    # fused TP on a banded model: REAL Mosaic kernels + real ICI
+    # collectives need >=2 chips (fused_tp requires >=2 shards); on the
+    # single tunneled chip this stays covered by the CPU-mesh tests only.
+    if len(jax.devices()) >= 2:
+        from spec_viterbi_tpu.hmm import HMM, to_modified_prob_np
+        from spec_viterbi_tpu.parallel import FusedTPDecoder, make_mesh
 
-    if len(_jax.devices()) >= 2:
-        from tests.test_fused_tp import banded_hmm  # type: ignore
+        nb_states = 256
+        brng = np.random.default_rng(13)
+        src = np.arange(nb_states - 1, dtype=np.int64)
+        bhmm = HMM(
+            states_num=nb_states,
+            emit_num=4,
+            trans_rows=src,
+            trans_cols=src + 1,
+            trans_probs=to_modified_prob_np(
+                brng.uniform(0.1, 1.0, size=nb_states - 1)
+            ),
+            emissions=to_modified_prob_np(
+                brng.uniform(0.1, 1.0, size=(4, nb_states))
+            ),
+            start_probabilities_cols=np.arange(4, dtype=np.int64),
+            start_probabilities=to_modified_prob_np(np.full(4, 0.25)),
+        )
+        from spec_viterbi_tpu.ops.structured import StructuredOperator as _SO
 
-        print("fused TP multichip available", flush=True)
+        bsop = _SO.from_hmm(bhmm)
+        shards = 2 ** int(np.log2(min(len(jax.devices()), 8)))
+        ftp = FusedTPDecoder(
+            bsop,
+            bhmm.emission_matrix(pad_to=bsop.n),
+            bhmm.start_vector(pad_to=bsop.n),
+            make_mesh(state=shards),
+            chunk=8,
+        )
+        bseqs = [brng.integers(0, 4, size=t).astype(np.int32) for t in (9, 25)]
+        for g, s in zip(ftp.decode_batch(bseqs), bseqs):
+            assert svt.almost_equal_vec(g, svt.viterbi_scores_oracle(bhmm, s))
+        for (fsc, fpath), s in zip(ftp.decode_path_batch(bseqs), bseqs):
+            _, fop = svt.viterbi_path_oracle(bhmm, s)
+            assert np.array_equal(fpath, fop)
+        print(f"fused TP OK on {shards} real chips", flush=True)
     else:
         print("fused TP: single chip — validated on CPU mesh (skip)", flush=True)
 

@@ -52,7 +52,9 @@ def benchmark_ragged(
     interpret: bool = False,
 ):
     """Returns ``(states_num, [whole_e2e, bucket_e2e, whole_comp,
-    bucket_comp])`` medians in ms."""
+    bucket_comp, path_whole_e2e, path_bucket_e2e])`` medians in ms
+    (HEADERS order; path columns are NaN when the whole-batch
+    backpointer tensor exceeds the HBM budget)."""
     hmm = read_hmm(chmm_path)
     sop = StructuredOperator.from_hmm(hmm)
     if not fused_eligible(sop):

@@ -343,16 +343,34 @@ class SpecializedViterbi:
             return self._delegate.decode_batch(seqs)
         if not seqs:
             return []
+        from spec_viterbi_tpu.utils.batching import quantize_t
+
         seqs = [validate_obs_seq(s, self.emit_num) for s in seqs]
         out: list[np.ndarray | None] = [None] * len(seqs)
-        by_len: dict[int, list[int]] = {}
+        # Compiled-shape bounding: ragged workloads would otherwise compile
+        # one program per distinct (T, lanes) pair (30-200 s each through a
+        # tunneled remote compiler). Sequences group by QUANTIZED length
+        # and pad to it with the identity symbol (index E — an exact no-op
+        # step, _build_level1), and lane counts round up to powers of two
+        # (pad lanes repeat the group's first sequence and are discarded).
+        by_tq: dict[int, list[int]] = {}
         for i, s in enumerate(seqs):
-            by_len.setdefault(len(s), []).append(i)
+            by_tq.setdefault(quantize_t(len(s)), []).append(i)
         cap = self._batch_lane_cap
-        for _, idxs in sorted(by_len.items()):
+        e = self.emit_num
+        for t_q, idxs in sorted(by_tq.items()):
             for k in range(0, len(idxs), cap):
                 part = idxs[k : k + cap]
-                batch = np.stack([seqs[i] for i in part], axis=1)  # [T, b]
+                b = len(part)
+                b_pad = min(cap, 1 << (b - 1).bit_length())
+                cols = [
+                    np.concatenate(
+                        [seqs[i], np.full(t_q - len(seqs[i]), e, np.int32)]
+                    )
+                    for i in part
+                ]
+                cols += [cols[0]] * (b_pad - b)
+                batch = np.stack(cols, axis=1)  # [t_q, b_pad]
                 v = np.asarray(self._decode_batch_uniform(jnp.asarray(batch)))
                 for j, i in enumerate(part):
                     out[i] = v[j, : self.states_num]

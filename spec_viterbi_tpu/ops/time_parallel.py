@@ -106,6 +106,43 @@ class TimeParallelDecoder:
         self._jit_fold = jax.jit(self._fold)
         self._jit_tail = jax.jit(self._tail)
 
+        # path-remat jits are built ONCE here: defining them per decode_path
+        # call would create fresh function objects and re-trace/re-compile
+        # every call (seconds per remote compile on a tunneled deployment)
+        from spec_viterbi_tpu.ops.structured import structured_mv_argmin
+
+        mv_argmin = jax.vmap(
+            lambda arrs, vv: structured_mv_argmin(sop, arrs, vv),
+            in_axes=(None, 1),
+            out_axes=1,
+        )
+
+        @jax.jit
+        def block_srcs(em_t, arrs, fronts_t, syms_t):
+            """fronts_t [N, nb] lane-major frontiers; syms_t [k, nb] →
+            (carry [N, nb], srcs [k, N, nb])."""
+
+            def step(vv, o):
+                u, src = mv_argmin(arrs, vv)
+                return em_t[:, o] + u, src
+
+            return jax.lax.scan(step, fronts_t, syms_t)
+
+        self._jit_block_srcs = lambda fronts_t, syms_t: block_srcs(
+            self._em_t, self._arrs, fronts_t, syms_t
+        )
+
+        @jax.jit
+        def back(last, srcs_all):
+            def bstep(state, src_t):
+                prev = src_t[state]
+                return prev, prev
+
+            _, rev = jax.lax.scan(bstep, last, srcs_all, reverse=True)
+            return rev
+
+        self._jit_back = back
+
     # ---- phase 1: block-operator composition (lanes = time blocks) ------
 
     def _compose(self, dv1, uu1, ww1, syms):
@@ -204,8 +241,6 @@ class TimeParallelDecoder:
         ONE batched pass from their retained frontiers (lane b = block b),
         then the backtrace threads block boundaries in reverse.
         """
-        from spec_viterbi_tpu.ops.structured import structured_mv_argmin
-
         seq = validate_obs_seq(seq, self.emit_num)
         t = len(seq)
         v, frontiers, v_blocks, nb, tail = self._decode_parts(seq)
@@ -214,23 +249,7 @@ class TimeParallelDecoder:
         # per-step argmin pointers for the tail + blocks, then backtrace
         seq_d = jnp.asarray(seq)
         n = self.n
-
-        mv_argmin = jax.vmap(
-            lambda arrs, vv: structured_mv_argmin(self.sop, arrs, vv),
-            in_axes=(None, 1),
-            out_axes=1,
-        )
-
-        @jax.jit
-        def block_srcs(fronts_t, syms_t):
-            """fronts_t [N, nb] lane-major frontiers; syms_t [k, nb] →
-            (carry [N, nb], srcs [k, N, nb])."""
-
-            def step(vv, o):
-                u, src = mv_argmin(self._arrs, vv)
-                return self._em_t[:, o] + u, src
-
-            return jax.lax.scan(step, fronts_t, syms_t)
+        block_srcs = self._jit_block_srcs
 
         pieces = []
         if nb:
@@ -262,17 +281,7 @@ class TimeParallelDecoder:
         if pieces:
             srcs_all = jnp.concatenate(pieces, axis=0)  # [T-1, N]
             last = jnp.argmin(jnp.asarray(scores)).astype(jnp.int32)
-
-            @jax.jit
-            def back(last, srcs_all):
-                def bstep(state, src_t):
-                    prev = src_t[state]
-                    return prev, prev
-
-                _, rev = jax.lax.scan(bstep, last, srcs_all, reverse=True)
-                return rev
-
-            rev = back(last, srcs_all)
+            rev = self._jit_back(last, srcs_all)
             path = np.concatenate([np.asarray(rev), [int(last)]])
         else:
             path = np.array([int(np.argmin(scores))])

@@ -305,8 +305,15 @@ class FusedTPDecoder:
         (the pointer's owner shard contributes, others +inf).
 
         Window-local pointer ``p`` on shard ``r`` is global row
-        ``p + r·block − h_lo``; dead states' normalized-0 pointers clamp
-        to global 0, reproducing the oracle's all-inf-row convention."""
+        ``p + r·block − h_lo``. Dead (all-inf) rows store normalized-0
+        pointers (window coords); the ``max(·, 0)`` clamp maps those to
+        global 0 on shard 0 only — which is the only shard whose dead
+        rows the walk can ever dereference, because the backtrace starts
+        at the per-lane argmin: an all-inf lane argmins to global state 0
+        (shard 0) and stays there, and a finite walk only follows
+        pointers of finite-score states. The clamp's other role is
+        keeping the degenerate walk's indices in range; it is NOT a
+        general dead-pointer-to-0 mapping on shards r > 0."""
         mesh, c = self.mesh, self.chunk
         block, h_lo, h_hi, n_win = self.block, self.h_lo, self.h_hi, self.n_win
         n, shards = self.n, self.shards

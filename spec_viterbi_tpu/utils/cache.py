@@ -25,7 +25,11 @@ import tempfile
 
 import numpy as np
 
-_FORMAT_VERSION = 2
+# v3: `kind` joined the directory name (dense/struct schema namespacing).
+# Older-version entries are unreachable under the new naming, so init
+# sweeps them — otherwise every pre-existing ~GB level-3 stack would leak
+# on disk forever while the model silently re-specialized cold.
+_FORMAT_VERSION = 3
 
 
 class OperatorCache:
@@ -50,12 +54,17 @@ class OperatorCache:
         except OSError:
             return
         now = time.time()
+        stale_prefixes = tuple(
+            f"ops_v{v}_" for v in range(1, _FORMAT_VERSION)
+        )
         for name in entries:
-            if not name.endswith(".tmp"):
+            stale_tmp = name.endswith(".tmp")
+            old_layout = name.startswith(stale_prefixes)
+            if not (stale_tmp or old_layout):
                 continue
             p = os.path.join(self.cache_dir, name)
             try:
-                if now - os.path.getmtime(p) > max_age_s:
+                if old_layout or now - os.path.getmtime(p) > max_age_s:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

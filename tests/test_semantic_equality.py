@@ -39,21 +39,24 @@ _ALL_MODELS = sorted(
 
 
 def _default_models() -> list[str]:
-    """Three fixed anchors + two DAILY-ROTATING corpus models.
+    """Three fixed anchors + two ROTATING corpus models.
 
     The full 24-model sweep takes ~74 min (gated behind
     ``SVT_FULL_EQUALITY=1``); the rotation guarantees every corpus model
     still passes through CI within ~2 weeks of daily runs, so a
     mid-corpus regression (e.g. a decomposition edge at 1509/1705) cannot
-    ride indefinitely (VERDICT r2 weak #1). The rotation key is the
-    calendar day — deterministic within a day, reproducible by date."""
+    ride indefinitely (VERDICT r2 weak #1). The rotation key defaults to
+    the calendar day; set ``SVT_ROTATION=<int>`` to pin it (reproduce a
+    specific day's selection when bisecting a rotation-only failure —
+    the failing run's models are in its pytest parametrize ids)."""
     import datetime
 
     anchors = ["100.chmm", "500.chmm", "1200.chmm"]
     pool = [m for m in _ALL_MODELS if m not in anchors]
     if not pool:
         return anchors
-    day = datetime.date.today().toordinal()
+    key = os.environ.get("SVT_ROTATION")
+    day = int(key) if key else datetime.date.today().toordinal()
     rotating = [pool[(2 * day + i) % len(pool)] for i in range(2)]
     return anchors + sorted(set(rotating))
 
