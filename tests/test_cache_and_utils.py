@@ -102,3 +102,35 @@ def test_step_timer_summary():
     assert s["count"] == 5
     assert s["median_ms"] >= 0
     assert StepTimer().summary() == {"count": 0}
+
+
+def test_operator_cache_migration_and_tmp_sweep(tmp_path):
+    """Init reclaims unreachable old-format entries and stale tmp dirs,
+    keeps current-format entries and fresh tmp dirs, and namespaces
+    dense/struct kinds so their schemas can never collide."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "ops_v2_deadbeef_L3_N2432"))  # old layout
+    stale_tmp = os.path.join(d, "xyz.tmp")
+    os.makedirs(stale_tmp)
+    os.utime(stale_tmp, (time.time() - 7200, time.time() - 7200))
+    fresh_tmp = os.path.join(d, "abc.tmp")
+    os.makedirs(fresh_tmp)
+
+    cache = OperatorCache(d)
+    assert not os.path.exists(os.path.join(d, "ops_v2_deadbeef_L3_N2432"))
+    assert not os.path.exists(stale_tmp)  # older than the sweep horizon
+    assert os.path.exists(fresh_tmp)  # live concurrent writer untouched
+
+    import numpy as np
+
+    cache.store("fp", 2, 64, {"a": np.arange(3)}, kind="dense")
+    cache.store("fp", 2, 64, {"b": np.arange(4)}, kind="struct")
+    dense = cache.load("fp", 2, 64, kind="dense")
+    struct = cache.load("fp", 2, 64, kind="struct")
+    assert set(dense) == {"a"} and set(struct) == {"b"}
+    # a second init must not touch current-format entries
+    OperatorCache(d)
+    assert cache.load("fp", 2, 64, kind="dense") is not None
