@@ -150,7 +150,9 @@ class XLAStreamDecoder(_StreamAPI):
 
         self._jit_begin = lambda syms: begin(em_t, pi_d, syms)
         self._jit_feed = lambda carry, syms, ln: feed(em_t, arrs, carry, syms, ln)
-        self._jit_extract = self._extract
+        # jitted: eager transpose/slice would cost one ~25 ms tunnel
+        # dispatch EACH on a tunneled deployment
+        self._jit_extract = jax.jit(self._extract, static_argnames=("b_real",))
         self._jit_last = last
         self._jit_path_block = lambda ck, ch, ln, bd, b_real: path_block(
             em_t, arrs, ck, ch, ln, bd, b_real=b_real
