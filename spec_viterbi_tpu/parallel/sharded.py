@@ -567,6 +567,17 @@ def decode_time_parallel(
     O(N³·(T−1)/S) block composition vs O(N²·T) serial — the tradeoff is the
     caller's scheduling decision (profitable for very long sequences on
     small-N models, or when the time axis is otherwise idle).
+
+    This is the DENSE block-operator form — the didactic mesh-SP path and
+    the cross-check for the production-scale schedule. At corpus sizes
+    (N≈2400) dense N³ block products are infeasible; the production
+    time-parallel schedule is
+    :class:`spec_viterbi_tpu.ops.time_parallel.TimeParallelDecoder`, which
+    composes block operators in the banded+low-rank closure (O(rank·N)
+    per block, rank linear in block length) with time blocks mapped onto
+    the SINGLE-chip lane axis — on one chip the lane axis is the idle
+    resource, so mesh sharding adds nothing until multi-chip latency
+    decoding matters.
     """
     s_axis = mesh.shape[TIME_AXIS]
     np_states = pad_to_lane(hmm.states_num)
