@@ -25,6 +25,22 @@ policy by design (`baseline_mode` in the JSON records this). If the dense
 mode fails or times out, ``vs_baseline`` is null rather than a fabricated
 1.0.
 
+Stall-proofing (round-4 redesign — the round-3 number was lost to a hung
+remote compile): **each mode runs in its own subprocess** with a hard
+wall-clock kill. An in-process ``SIGALRM`` deadline cannot preempt a
+Python thread blocked inside a native tunnel call (observed round 3: the
+alarm fired, logged, and then the process sat 17 more minutes until the
+driver's outer ``timeout`` destroyed the whole run, dense baseline
+included); ``os.killpg`` on the child's own process group can. The parent
+always prints the JSON line with whatever modes completed — a dense-only
+line is valid output; only all-modes-failed exits nonzero. Total
+worst-case wall clock (structured + one retry + dense, compiles INSIDE
+the budgets) is ~16 min, under the driver's observed window. Fault
+injection for the unit test: ``SVT_BENCH_FAULT=hang=<mode>;stub=<mode>``
+replaces a child's work with an uninterruptible-style sleep / a canned
+result, exercising the kill + salvage logic without a TPU
+(``tests/test_bench_harness.py``).
+
 The JSON line also prints the speed-of-light accounting for the headline:
 ``us_per_step`` (measured wall µs per 512-lane decode step) against
 ``floor_us_per_step`` — the measured 3.33 µs/step irreducible quantum
@@ -40,18 +56,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 from __future__ import annotations
 
-import contextlib
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BENCH_RUNS = 5
-# Per-mode wall-clock budget: remote compiles occasionally stall; a hung
-# mode must not take the whole benchmark (the driver needs the JSON line).
-MODE_TIMEOUT_S = 480
 
 CHMM = "/root/reference/chmm_files/2405.chmm"
 ESS = "/root/reference/ess_files/emit_50_3500_20.ess"
@@ -60,19 +74,30 @@ T_LEN = 3500
 LANES = 512  # fused-kernel throughput sweet spot (BASELINE.md sweep)
 N_BATCHES = 8
 
+# Per-mode wall-clock budgets (seconds), compiles included. Overridable via
+# env for the fault-injection test. Worst case total:
+# STRUCTURED + RETRY + DENSE ≈ 16 min < the driver's window.
+def _budget(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
 
-@contextlib.contextmanager
-def _deadline(seconds: int):
-    def _raise(signum, frame):
-        raise TimeoutError(f"mode exceeded {seconds}s budget")
 
-    prev = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-    try:
-        yield
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, prev)
+RESULT_TAG = "SVT_BENCH_RESULT "  # child stdout line prefix (tunnel noise-proof)
+
+
+def _fault_modes(kind: str) -> set[str]:
+    """Parse SVT_BENCH_FAULT='hang=structured;stub=dense' → modes for kind."""
+    out = set()
+    for part in os.environ.get("SVT_BENCH_FAULT", "").split(";"):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if k.strip() == kind:
+                out.update(m.strip() for m in v.split(",") if m.strip())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# child side: one mode, one process
+# ---------------------------------------------------------------------------
 
 
 def _median_time(fn, runs: int = BENCH_RUNS) -> float:
@@ -99,69 +124,124 @@ def _packed_work(seqs, lanes: int, n_batches: int):
     return out
 
 
-def main() -> None:
+def _block(out):
+    # On the axon tunnel, block_until_ready does not reliably wait for
+    # pure-XLA programs; a tiny D2H slice does.
+    return np.asarray(out[:1, :1])
+
+
+def _child_structured() -> dict:
+    import spec_viterbi_tpu as svt
+
+    hmm = svt.read_hmm(CHMM)
+    seqs = svt.read_emit_seq(ESS)
+    dec = svt.ViterbiDecoder(hmm, mode="structured")
+    handles = [dec.prepare_batch(b) for b in _packed_work(seqs, LANES, N_BATCHES)]
+
+    def run_structured():
+        outs = [dec.run_batch(h) for h in handles]
+        _block(outs[-1])
+
+    sec = _median_time(run_structured)
+    return {
+        "structured": N_BATCHES * LANES * T_LEN / sec,
+        # wall µs per 512-lane step (N_BATCHES×T_LEN steps total)
+        "us_per_step": sec * 1e6 / (N_BATCHES * T_LEN),
+    }
+
+
+def _child_dense() -> dict:
     import spec_viterbi_tpu as svt
 
     hmm = svt.read_hmm(CHMM)
     seqs = svt.read_emit_seq(ESS)
     total_symbols = sum(len(s) for s in seqs)
+    dec_d = svt.ViterbiDecoder(hmm, mode="dense")
+    handle = dec_d.prepare_batch(seqs)
 
-    def block(out):
-        # On the axon tunnel, block_until_ready does not reliably wait for
-        # pure-XLA programs; a tiny D2H slice does.
-        return np.asarray(out[:1, :1])
+    def run_dense():
+        _block(dec_d.run_batch(handle))
 
-    results = {}
+    return {"dense": total_symbols / _median_time(run_dense)}
 
-    # Structured (fused-kernel) serving throughput: full-lane batches,
-    # enqueue all, drain once. A remote compile occasionally stalls past
-    # the budget on its FIRST encounter with a shape; the retry almost
-    # always succeeds because the compile-server cache keeps whatever the
-    # aborted attempt finished (observed: 480s timeout, then 46.5M on the
-    # immediate rerun).
-    for attempt in range(2):
-        try:
-            with _deadline(MODE_TIMEOUT_S):
-                dec = svt.ViterbiDecoder(hmm, mode="structured")
-                handles = [
-                    dec.prepare_batch(b)
-                    for b in _packed_work(seqs, LANES, N_BATCHES)
-                ]
 
-                def run_structured():
-                    outs = [dec.run_batch(h) for h in handles]
-                    block(outs[-1])
+def _run_child(mode: str) -> int:
+    if mode in _fault_modes("hang"):  # pragma: no branch - test-only path
+        while True:  # simulate a native call SIGALRM can't preempt
+            time.sleep(3600)
+    if mode in _fault_modes("stub"):
+        results = (
+            {"structured": 46.5e6, "us_per_step": 11.0}
+            if mode == "structured"
+            else {"dense": 152e3}
+        )
+    else:
+        results = {"structured": _child_structured, "dense": _child_dense}[mode]()
+    print(RESULT_TAG + json.dumps(results), flush=True)
+    return 0
 
-                sec = _median_time(run_structured)
-                results["structured"] = N_BATCHES * LANES * T_LEN / sec
-                # wall µs per 512-lane step (N_BATCHES×T_LEN steps total)
-                results["us_per_step"] = sec * 1e6 / (N_BATCHES * T_LEN)
-            break
-        except TimeoutError as exc:  # pragma: no cover - stalled compile
-            print(
-                f"[bench] structured mode attempt {attempt} timed out: {exc}",
-                file=sys.stderr,
-            )
-        except Exception as exc:  # pragma: no cover - deterministic failure
-            print(f"[bench] structured mode failed: {exc}", file=sys.stderr)
-            break  # retrying an identical deterministic failure is waste
 
-    # Dense XLA baseline: the 50-sequence workload as one batched program
-    # (its best configuration), R pipelined repeats, one drain.
+# ---------------------------------------------------------------------------
+# parent side: orchestrate children with hard wall-clock kills
+# ---------------------------------------------------------------------------
+
+
+def _run_mode(mode: str, timeout_s: int) -> dict | None:
+    """One mode in its own process group; SIGKILL the group on timeout
+    (the child's exact pgid — never a pattern kill). Returns the child's
+    parsed result dict, or None."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", mode],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        start_new_session=True,  # own pgid so the kill reaps helper procs too
+    )
     try:
-        with _deadline(MODE_TIMEOUT_S):
-            dec_d = svt.ViterbiDecoder(hmm, mode="dense")
-            handle = dec_d.prepare_batch(seqs)
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:  # pragma: no cover - raced exit
+            pass
+        proc.wait()
+        print(f"[bench] {mode} mode killed after {timeout_s}s", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(
+            f"[bench] {mode} mode exited rc={proc.returncode}", file=sys.stderr
+        )
+        return None
+    for line in out.splitlines():
+        if line.startswith(RESULT_TAG):
+            return json.loads(line[len(RESULT_TAG):])
+    print(f"[bench] {mode} mode printed no result line", file=sys.stderr)
+    return None
 
-            def run_dense():
-                block(dec_d.run_batch(handle))
 
-            results["dense"] = total_symbols / _median_time(run_dense)
-    except Exception as exc:  # pragma: no cover - transient env failures
-        print(f"[bench] dense mode failed: {exc}", file=sys.stderr)
+def main() -> int:
+    results: dict = {}
+
+    # Structured (fused-kernel) serving throughput. A remote compile
+    # occasionally stalls on its FIRST encounter with a shape; the retry
+    # usually succeeds because the compile-server cache keeps whatever the
+    # killed attempt finished. The retry budget is shorter: it should be
+    # hitting warm caches.
+    got = _run_mode("structured", _budget("SVT_BENCH_TIMEOUT_STRUCTURED", 420))
+    if got is None:
+        got = _run_mode("structured", _budget("SVT_BENCH_TIMEOUT_RETRY", 300))
+    if got:
+        results.update(got)
+
+    # Dense XLA baseline — runs REGARDLESS of what structured did (round 3
+    # lost the entire number because one structured stall starved this).
+    got = _run_mode("dense", _budget("SVT_BENCH_TIMEOUT_DENSE", 240))
+    if got:
+        results.update(got)
 
     if "structured" not in results and "dense" not in results:
-        raise SystemExit("all benchmark modes failed")
+        print("[bench] all modes failed", file=sys.stderr)
+        return 1
     value = max(results.get("structured", 0.0), results.get("dense", 0.0))
     vs = value / results["dense"] if results.get("dense") else None
     us_per_step = results.get("us_per_step")
@@ -184,9 +264,13 @@ def main() -> None:
                     round(floor / us_per_step, 3) if us_per_step else None
                 ),
             }
-        )
+        ),
+        flush=True,
     )
+    return 0
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        sys.exit(_run_child(sys.argv[2]))
     sys.exit(main())

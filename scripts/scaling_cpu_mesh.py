@@ -90,8 +90,8 @@ def main() -> int:
                 "path": "decode_batch_dp_fused",
                 "devices": d,
                 "lanes": lanes,
-                "ok": True,
-                "oracle_checked": bool(ok),
+                "ok": bool(ok),
+                "oracle_checked": True,
                 "throughput_sym_s": round(lanes * T / dt, 1),
             }
         )
@@ -111,11 +111,15 @@ def main() -> int:
                 "path": "stream_dp",
                 "devices": d,
                 "lanes": lanes,
-                "ok": True,
-                "oracle_checked": bool(ok),
+                "ok": bool(ok),
+                "oracle_checked": True,
                 "throughput_sym_s": round(lanes * T / dt, 1),
             }
         )
+
+    bad = [r for r in rows if not r["ok"]]
+    if bad:  # never exit 0 on an oracle mismatch (ADVICE r3)
+        raise SystemExit(f"oracle mismatch in rows: {bad}")
 
     out = os.path.join(REPO, "bench_out", "scaling_cpu_mesh.jsonl")
     with open(out, "w") as f:

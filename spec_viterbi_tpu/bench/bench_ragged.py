@@ -150,7 +150,12 @@ def benchmark_ragged(
             fd.decode_path_batch(
                 _workload(lens, hmm.emit_num, 998 + voff), bucketed=bucketed
             )
-        except Exception:
+        except ValueError as exc:
+            # ONLY the documented HBM-budget rejection becomes the NaN
+            # memory-policy column; any other failure is a real
+            # decode_path_batch regression and must propagate (ADVICE r3)
+            if "budget" not in str(exc):
+                raise
             path_times[bucketed] = None
     for rep in range(times_to_run):
         for bucketed in (False, True):

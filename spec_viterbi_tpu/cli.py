@@ -112,10 +112,10 @@ def _cmd_decode(args) -> int:
         )
 
         sop = StructuredOperator.from_hmm(hmm)
-        if not time_parallel_supported(sop):
+        if not time_parallel_supported(sop, k=args.time_parallel):
             print(
-                "--time-parallel needs a single-diagonal operator "
-                "(ops/time_parallel.py)",
+                "--time-parallel: composed band too wide for this "
+                "operator/k (ops/time_parallel.py)",
                 file=sys.stderr,
             )
             return 2

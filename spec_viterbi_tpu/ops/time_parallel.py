@@ -11,14 +11,26 @@ mapping TIME BLOCKS of one sequence onto lanes:
    banded+low-rank closure of :mod:`spec_viterbi_tpu.ops.structured_compose`
    (``README.md:9-13`` associativity — the same algebra the reference's
    specializer exploits per alphabet tuple, applied across *time* of one
-   concrete sequence). For a single-diagonal operator (the Pfam match
-   chain) the composed block stays ONE diagonal (offset ``k·d``) plus
-   ``R1·k`` rank-1 slots — linear growth (``R' = R_b + R_a·D_a``), never
-   densifying. All ``nb`` blocks compose together as array ops over a
-   ``[nb, slots, N]`` layout — the lanes-as-time-blocks trick.
+   concrete sequence). The composed block operator is a **band** plus
+   rank-1 slots: per-step diagonals at offsets ``D`` compose into
+   diagonals at the ``t``-fold sums of ``D`` — a band of static width
+   ``t·span+1`` (``span = max(D) − min(D)``) — while rank-1 components
+   grow linearly (``R1·k`` slots; ``R' = R_b + R_a·D_a``), never
+   densifying. The Pfam match chain is the ``span = 0`` special case
+   (one diagonal stays one diagonal at offset ``k·d``). All ``nb``
+   blocks compose together as array ops over a ``[nb, ·, N]`` layout —
+   the lanes-as-time-blocks trick.
+
+   The composition runs as a ``lax.scan`` over the ``k−1`` steps with the
+   slot/band stores padded to their final size upfront (dead slots hold
+   ``+inf`` — the semiring zero — and provably stay dead through every
+   product rule), so the traced program is O(1) in ``k``: the round-3
+   unrolled form traced ~32×4 concat/min ops at ``k = 32``, which on a
+   30-200 s/shape remote compiler made the k-sweep itself the bottleneck
+   (VERDICT r3 weak #5).
 2. **Fold** (sequential, short): apply the ``nb`` block operators to the
-   frontier in order — ``nb`` applies of O(R1·k·N) work instead of ``T``
-   dependent steps. The frontier before each block is retained.
+   frontier in order — ``nb`` applies of O((W+R1·k)·N) work instead of
+   ``T`` dependent steps. The frontier before each block is retained.
 3. **Tail**: the ``(T−1) mod k`` leftover symbols run serially.
 4. **Paths** (optional): rematerialize every block's backpointers in ONE
    batched pass — block b decodes from its retained frontier on lane b
@@ -26,14 +38,15 @@ mapping TIME BLOCKS of one sequence onto lanes:
    across time blocks instead of stream chunks) — then backtrace across
    block boundaries.
 
-Work accounting (the go/no-go law): compose does ``Σ_t O(R1·t·N) ≈
-O(R1·k²/2·N)`` per block — ``O(R1·k·T·N/2)`` total, but data-parallel
-over ``nb`` lanes — while fold is ``O(R1·T·N)`` sequential-in-``nb`` with
-k-fold fewer dependent steps than serial decode. Serial decode is
-``O(C·T·N)`` with T dependent steps. Time-parallel wins when the machine
-has idle lanes (it does: 1 used of 128) and k is small enough that the
-quadratic compose term stays below the lane count. Measured numbers live
-in BASELINE.md.
+Work accounting (the go/no-go law): compose is ``O(k·(R1·k + m·W)·N)``
+per block but data-parallel over ``nb`` lanes, while fold is
+``O((W+R1·k)·T/k·N)`` with k-fold fewer dependent steps than serial
+decode. Serial decode is ``O(C·T·N)`` with T dependent steps. The scan
+layout pays up to 2× the unrolled form's compose FLOPs (early steps carry
+the full padded slot store) to bound compile time — the right trade on a
+remote compiler. Time-parallel wins when the machine has idle lanes (it
+does: 1 used of 128) and k is small enough that the quadratic compose
+term stays below the lane count. Measured numbers live in BASELINE.md.
 
 Exactness: real-arithmetic scores are identical to serial decode (min
 distributes over ⊗; every path's weight is the same sum). Float addition
@@ -60,43 +73,84 @@ from spec_viterbi_tpu.ops.structured_compose import batched_level1
 
 INF = np.float32(np.inf)
 
+# Composed-band width ceiling: per compose step the band product costs
+# m·W state passes over [nb, N]; past ~256 slots the compose work swamps
+# the lanes it parallelizes over. Every Pfam corpus model has span = 0
+# (W = 1); the cap only gates wide synthetic multi-diagonal bands.
+MAX_BAND_SLOTS = 256
 
-def time_parallel_supported(sop: StructuredOperator) -> bool:
-    """The closure keeps ONE diagonal slot only when the operator has one
-    diagonal component; multi-diag operators would grow a band (offsets
-    {Σ choices}) — representable but not implemented here."""
-    return len(sop.diag_offsets) == 1
+
+def _band_geometry(sop: StructuredOperator, k: int) -> tuple[int, int, int]:
+    """(min_d, span, W): the composed block band after ``k`` steps holds
+    offsets ``k·min_d + j`` for ``j`` in [0, W)."""
+    if sop.diag_offsets:
+        min_d = min(sop.diag_offsets)
+        span = max(sop.diag_offsets) - min_d
+    else:
+        min_d, span = 0, 0
+    return min_d, span, k * span + 1
 
 
-def _shift(x: jnp.ndarray, d: int) -> jnp.ndarray:
-    """out[..., i] = x[..., i−d], +inf fill (``_shift_dst`` in jnp)."""
+def time_parallel_supported(sop: StructuredOperator, k: int = 8) -> bool:
+    """Any structured operator composes in the banded+low-rank closure;
+    the only gate is the composed band width ``k·span+1`` staying below
+    ``MAX_BAND_SLOTS`` (round 3 required a single diagonal — the band
+    generalization lifted that, VERDICT r3 #7)."""
+    _, _, w = _band_geometry(sop, k)
+    return w <= MAX_BAND_SLOTS
+
+
+def _shift(x: jnp.ndarray, d: int, axis: int = -1) -> jnp.ndarray:
+    """out[..., i, ...] = x[..., i−d, ...] along ``axis``, +inf fill
+    (``_shift_dst`` in jnp; static ``d``)."""
     if d == 0:
         return x
-    n = x.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 1)
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+
+    def sl(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return tuple(idx)
+
     if d > 0:
-        return jnp.pad(
-            x[..., : n - d], pad + [(d, 0)], constant_values=jnp.inf
-        )
-    return jnp.pad(x[..., -d:], pad + [(0, -d)], constant_values=jnp.inf)
+        pad[axis] = (d, 0)
+        return jnp.pad(x[sl(0, n - d)], pad, constant_values=jnp.inf)
+    pad[axis] = (0, -d)
+    return jnp.pad(x[sl(-d, n)], pad, constant_values=jnp.inf)
+
+
+def _shift_traced(x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """_shift along the last axis by a TRACED amount (roll + validity
+    mask — the scan body's only data-dependent shift)."""
+    n = x.shape[-1]
+    rolled = jnp.roll(x, s, axis=-1)
+    iota = jnp.arange(n)
+    valid = (iota >= jnp.maximum(s, 0)) & (iota < n + jnp.minimum(s, 0))
+    return jnp.where(valid, rolled, jnp.inf)
 
 
 class TimeParallelDecoder:
     """Single-sequence decoder that trades lane occupancy for latency."""
 
     def __init__(self, sop: StructuredOperator, emissions, pi, k: int = 8):
-        if not time_parallel_supported(sop):
-            raise ValueError("time-parallel decode needs a single-diagonal operator")
+        if not time_parallel_supported(sop, k):
+            raise ValueError(
+                f"composed band would exceed {MAX_BAND_SLOTS} slots at k={k} "
+                "(see time_parallel_supported)"
+            )
         self.sop = sop
         self.k = int(k)
         self.n = sop.n
         self.states_num = sop.states_num
         self.emit_num = int(np.asarray(emissions).shape[0])
-        self.d = sop.diag_offsets[0]
+        self.min_d, self.span, self.w_band = _band_geometry(sop, self.k)
         offsets, dv1, uu1, ww1 = batched_level1(sop, np.asarray(emissions))
-        assert offsets == (self.d,)
+        assert offsets == tuple(sop.diag_offsets)
+        self.offsets = offsets
         self.r1 = uu1.shape[1]  # rank-1 slots per level-1 operator
-        self._dv1 = jnp.asarray(dv1[:, 0, :])  # [E, N]
+        self._dv1 = jnp.asarray(dv1)  # [E, m, N]
         self._uu1 = jnp.asarray(uu1)  # [E, R1, N]
         self._ww1 = jnp.asarray(ww1)  # [E, R1, N]
         self._em_t = jnp.asarray(np.asarray(emissions).T)  # [N, E]
@@ -104,7 +158,19 @@ class TimeParallelDecoder:
         self._arrs = sop.device_arrays()
         self._jit_compose = jax.jit(self._compose)
         self._jit_fold = jax.jit(self._fold)
-        self._jit_tail = jax.jit(self._tail)
+
+        # operator/emission arrays thread through jit as ARGUMENTS, not
+        # closure constants (closure constants ship to the remote compiler
+        # — CLAUDE.md; ADVICE r3 flagged the tail closing over them)
+        @jax.jit
+        def tail(em_t, arrs, v, syms):
+            def step(v, o):
+                return em_t[:, o] + structured_mv(sop, arrs, v), None
+
+            v, _ = jax.lax.scan(step, v, syms)
+            return v
+
+        self._jit_tail = lambda v, syms: tail(self._em_t, self._arrs, v, syms)
 
         # path-remat jits are built ONCE here: defining them per decode_path
         # call would create fresh function objects and re-trace/re-compile
@@ -146,64 +212,101 @@ class TimeParallelDecoder:
     # ---- phase 1: block-operator composition (lanes = time blocks) ------
 
     def _compose(self, dv1, uu1, ww1, syms):
-        """syms [nb, k] → block operators (dv [nb, N], uu/ww [nb, R1·k, N]).
+        """syms [nb, k] → block operators (bv [nb, W, N] band, uu/ww
+        [nb, R1·k, N] rank-1 slots), via ``lax.scan`` over steps 1..k−1.
 
-        Per step the closure product rules (structured_compose module
-        docstring) with A = this step's level-1 operator, B = the running
-        block operator: Diag⊗Diag stays the single diagonal; inherited
-        rank-1 slots keep their w and min-merge their u over A's diagonal
-        shift and A's rank-1 dots; A's R1 rank-1 components spawn R1 new
-        slots against B's diagonal. Slot count after k steps: R1·k.
+        Product rules (structured_compose module docstring) with A = this
+        step's level-1 operator, B = the running block operator, in the
+        fixed-size padded layout: band slot ``j`` at time ``t`` holds the
+        diagonal at offset ``t·min_d + j`` (composing A's diagonal ``d_i``
+        shifts slot indices by ``d_i − min_d`` — static); inherited rank-1
+        slots keep their w and min-merge their u over A's diagonal shifts
+        and A's rank-1 dots; A's R1 rank-1 components land in slot block
+        ``t`` (``dynamic_update_slice``), their w composed through B's
+        band (static per-slot shifts + one traced ``t·min_d`` shift).
+        Dead (+inf) slots absorb nothing and emit nothing.
         """
-        d, k = self.d, self.k
-        acc_dv = dv1[syms[:, 0]]  # [nb, N]
-        acc_u = uu1[syms[:, 0]]  # [nb, R1, N]
-        acc_w = ww1[syms[:, 0]]
-        for t in range(1, k):
-            a_dv = dv1[syms[:, t]]  # [nb, N]
-            a_u = uu1[syms[:, t]]  # [nb, R1, N]
-            a_w = ww1[syms[:, t]]
-            # Diag ⊗ Diag
-            new_dv = a_dv + _shift(acc_dv, d)
+        k, r1, w_band = self.k, self.r1, self.w_band
+        min_d, offsets = self.min_d, self.offsets
+        nb, n = syms.shape[0], dv1.shape[-1]
+        s_tot = r1 * k
+
+        bv0 = jnp.full((nb, w_band, n), jnp.inf, jnp.float32)
+        for i, d_i in enumerate(offsets):
+            bv0 = bv0.at[:, d_i - min_d, :].set(dv1[syms[:, 0], i])
+        acc_u0 = jnp.full((nb, s_tot, n), jnp.inf, jnp.float32)
+        acc_w0 = jnp.full((nb, s_tot, n), jnp.inf, jnp.float32)
+        if r1:
+            acc_u0 = acc_u0.at[:, :r1].set(uu1[syms[:, 0]])
+            acc_w0 = acc_w0.at[:, :r1].set(ww1[syms[:, 0]])
+
+        def step(carry, xs):
+            bv, acc_u, acc_w = carry
+            o_t, t = xs  # o_t [nb]; t = number of operators already in B
+            a_dv = dv1[o_t]  # [nb, m, N]
+            a_u = uu1[o_t]  # [nb, R1, N]
+            a_w = ww1[o_t]
+            # Band(A) ⊗ Band(B): offset d_i lands at slot j + (d_i − min_d)
+            new_bv = jnp.full_like(bv, jnp.inf)
+            for i, d_i in enumerate(offsets):
+                term = a_dv[:, i, None, :] + _shift(
+                    _shift(bv, d_i - min_d, axis=1), d_i
+                )
+                new_bv = jnp.minimum(new_bv, term)
             # inherited slots: Diag(a) ⊗ Rank1(b)  ∪  Rank1(a) ⊗ Rank1(b)
-            u_diag = a_dv[:, None, :] + _shift(acc_u, d)  # [nb, S, N]
-            dots = jnp.min(
-                a_w[:, :, None, :] + acc_u[:, None, :, :], axis=-1
-            )  # [nb, R1, S]
-            u_rank = jnp.min(
-                a_u[:, :, None, :] + dots[:, :, :, None], axis=1
-            )  # [nb, S, N]
-            acc_u = jnp.minimum(u_diag, u_rank)
-            # new slots: Rank1(a) ⊗ Diag(b, offset t·d)
-            w_new = _shift(a_w + acc_dv[:, None, :], -(t * d))
-            acc_u = jnp.concatenate([acc_u, a_u], axis=1)
-            acc_w = jnp.concatenate([acc_w, w_new], axis=1)
-            acc_dv = new_dv
-        return acc_dv, acc_u, acc_w
+            u_diag = jnp.full_like(acc_u, jnp.inf)
+            for i, d_i in enumerate(offsets):
+                u_diag = jnp.minimum(
+                    u_diag, a_dv[:, i, None, :] + _shift(acc_u, d_i)
+                )
+            if r1:
+                dots = jnp.min(
+                    a_w[:, :, None, :] + acc_u[:, None, :, :], axis=-1
+                )  # [nb, R1, S]
+                u_rank = jnp.min(
+                    a_u[:, :, None, :] + dots[:, :, :, None], axis=1
+                )  # [nb, S, N]
+                new_u = jnp.minimum(u_diag, u_rank)
+                # new slots at block t: Rank1(a) ⊗ Band(b, offsets t·min_d+j)
+                y = a_w[:, :, None, :] + bv[:, None, :, :]  # [nb, R1, W, N]
+                z = _shift(y[:, :, 0, :], 0)
+                for j in range(1, w_band):
+                    z = jnp.minimum(z, _shift(y[:, :, j, :], -j))
+                w_new = _shift_traced(z, -(t * min_d)) if min_d else z
+                new_u = jax.lax.dynamic_update_slice(new_u, a_u, (0, t * r1, 0))
+                new_w = jax.lax.dynamic_update_slice(acc_w, w_new, (0, t * r1, 0))
+            else:
+                new_u, new_w = u_diag, acc_w
+            return (new_bv, new_u, new_w), None
+
+        if k > 1:
+            xs = (syms[:, 1:].T, jnp.arange(1, k))
+            (bv, acc_u, acc_w), _ = jax.lax.scan(step, (bv0, acc_u0, acc_w0), xs)
+        else:
+            bv, acc_u, acc_w = bv0, acc_u0, acc_w0
+        return bv, acc_u, acc_w
 
     # ---- phase 2: sequential fold over block operators ------------------
 
-    def _fold(self, v0, acc_dv, acc_u, acc_w):
+    def _fold(self, v0, bv, acc_u, acc_w):
         """Apply nb block operators in order; returns (v_final, frontiers)
         with frontiers[b] = carry BEFORE block b (for path remat)."""
-        kd = self.k * self.d
+        base = self.k * self.min_d  # band slot j = offset base + j (static)
+        w_band = self.w_band
 
         def step(v, op):
-            dv_b, u_b, w_b = op
-            diag = dv_b + _shift(v, kd)
-            dots = jnp.min(w_b + v[None, :], axis=-1)  # [S]
-            cand = jnp.min(u_b + dots[:, None], axis=0)  # [N]
-            return jnp.minimum(diag, cand), v
+            bv_b, u_b, w_b = op  # [W, N], [S, N], [S, N]
+            diag = bv_b[0] + _shift(v, base)
+            for j in range(1, w_band):
+                diag = jnp.minimum(diag, bv_b[j] + _shift(v, base + j))
+            if u_b.shape[0]:  # purely banded operators carry no rank-1 slots
+                dots = jnp.min(w_b + v[None, :], axis=-1)  # [S]
+                cand = jnp.min(u_b + dots[:, None], axis=0)  # [N]
+                diag = jnp.minimum(diag, cand)
+            return diag, v
 
-        v, frontiers = jax.lax.scan(step, v0, (acc_dv, acc_u, acc_w))
+        v, frontiers = jax.lax.scan(step, v0, (bv, acc_u, acc_w))
         return v, frontiers
-
-    def _tail(self, v, syms):
-        def step(v, o):
-            return self._em_t[:, o] + structured_mv(self.sop, self._arrs, v), None
-
-        v, _ = jax.lax.scan(step, v, syms)
-        return v
 
     # ---- public API -----------------------------------------------------
 

@@ -39,14 +39,24 @@ class OperatorCache:
         self.cache_dir = cache_dir or os.path.join(
             os.path.expanduser("~"), ".cache", "spec_viterbi_tpu"
         )
-        self._sweep_stale_tmp()
+        self._swept = False
 
     def _sweep_stale_tmp(self, max_age_s: float = 3600.0) -> None:
         """Remove orphaned ``*.tmp`` staging directories left by a process
         that died mid-``store`` (the async level-3 publish writes ~1.3 GB;
-        an abort would otherwise accumulate on disk forever). Only dirs
-        older than ``max_age_s`` are swept so a live concurrent writer is
-        never disturbed."""
+        an abort would otherwise accumulate on disk forever) and
+        old-format entries unreachable under the current naming.
+
+        Runs lazily on the first ``store`` — a writer in this directory —
+        never on construction, so read-only consumers (and older library
+        versions sharing the default cache dir mid-upgrade) are not raced
+        out of their entries by a mere ``OperatorCache()`` (ADVICE r3).
+        Old-layout reclamation matches the FULL historical entry pattern
+        (``ops_v<older>_…_L<level>_N<padded>``), not a bare prefix, so a
+        non-dedicated directory's unrelated names are never touched.
+        Only ``*.tmp`` dirs older than ``max_age_s`` are swept so a live
+        concurrent writer is never disturbed."""
+        import re
         import time
 
         try:
@@ -54,12 +64,11 @@ class OperatorCache:
         except OSError:
             return
         now = time.time()
-        stale_prefixes = tuple(
-            f"ops_v{v}_" for v in range(1, _FORMAT_VERSION)
-        )
+        old_versions = "|".join(str(v) for v in range(1, _FORMAT_VERSION))
+        old_entry = re.compile(rf"^ops_v(?:{old_versions})_.+_L\d+_N\d+$")
         for name in entries:
             stale_tmp = name.endswith(".tmp")
-            old_layout = name.startswith(stale_prefixes)
+            old_layout = bool(old_entry.match(name))
             if not (stale_tmp or old_layout):
                 continue
             p = os.path.join(self.cache_dir, name)
@@ -118,6 +127,9 @@ class OperatorCache:
         kind: str = "dense",
     ) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
+        if not self._swept:  # first write proves we own this directory
+            self._swept = True
+            self._sweep_stale_tmp()
         path = self._path(fingerprint, level, padded, kind)
         tmp = tempfile.mkdtemp(dir=self.cache_dir, suffix=".tmp")
         try:

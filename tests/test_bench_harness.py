@@ -115,6 +115,69 @@ def test_spec_bench_struct_level3_cell_runs(tmp_path):
         assert np.isfinite(dec3) and dec3 >= 0
 
 
+def _run_bench_py(env_extra: dict) -> tuple[int, str]:
+    import subprocess
+    import sys
+
+    env = dict(os.environ, **env_extra)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=120,
+    )
+    return proc.returncode, proc.stdout
+
+
+def test_bench_py_survives_hung_mode():
+    """VERDICT r3 #2: a forced stall of one mode must still yield a parsed
+    JSON line within budget. The structured child hangs (simulating a
+    native tunnel call SIGALRM cannot preempt); the parent must SIGKILL
+    its process group at the wall-clock budget and publish the dense
+    result alone."""
+    import json
+    import time
+
+    t0 = time.time()
+    rc, out = _run_bench_py(
+        {
+            "SVT_BENCH_FAULT": "hang=structured;stub=dense",
+            "SVT_BENCH_TIMEOUT_STRUCTURED": "2",
+            "SVT_BENCH_TIMEOUT_RETRY": "1",
+            "SVT_BENCH_TIMEOUT_DENSE": "30",
+        }
+    )
+    assert rc == 0
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["metric"] == "decoded_obs_symbols_per_s_per_chip_2405"
+    assert line["value"] == 152000.0  # dense stub salvaged the number
+    assert line["vs_baseline"] == 1.0
+    assert time.time() - t0 < 60  # budgets held (2+1 hang + fast dense)
+
+
+def test_bench_py_all_modes_dead_is_the_only_failure():
+    import json
+
+    rc, out = _run_bench_py(
+        {
+            "SVT_BENCH_FAULT": "hang=structured,dense",
+            "SVT_BENCH_TIMEOUT_STRUCTURED": "1",
+            "SVT_BENCH_TIMEOUT_RETRY": "1",
+            "SVT_BENCH_TIMEOUT_DENSE": "1",
+        }
+    )
+    assert rc != 0
+
+    rc, out = _run_bench_py({"SVT_BENCH_FAULT": "stub=structured,dense"})
+    assert rc == 0
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["value"] == 46.5e6
+    assert line["vs_baseline"] == round(46.5e6 / 152e3, 3)
+    assert line["floor_utilization"] == round(3.33 / 11.0, 3)
+
+
 def test_cli_info_and_sum_dat(tmp_path, capsys):
     from spec_viterbi_tpu.cli import main
 

@@ -105,14 +105,21 @@ def test_step_timer_summary():
 
 
 def test_operator_cache_migration_and_tmp_sweep(tmp_path):
-    """Init reclaims unreachable old-format entries and stale tmp dirs,
-    keeps current-format entries and fresh tmp dirs, and namespaces
-    dense/struct kinds so their schemas can never collide."""
+    """The FIRST STORE (not construction — read-only consumers must never
+    race concurrent processes out of their entries, ADVICE r3) reclaims
+    unreachable old-format entries and stale tmp dirs, keeps
+    current-format entries, fresh tmp dirs and non-entry names, and
+    namespaces dense/struct kinds so their schemas can never collide."""
     import os
     import time
 
+    import numpy as np
+
     d = str(tmp_path)
-    os.makedirs(os.path.join(d, "ops_v2_deadbeef_L3_N2432"))  # old layout
+    old_entry = os.path.join(d, "ops_v2_deadbeef_L3_N2432")
+    os.makedirs(old_entry)  # old layout
+    unrelated = os.path.join(d, "ops_v2_backup")  # NOT an entry pattern
+    os.makedirs(unrelated)
     stale_tmp = os.path.join(d, "xyz.tmp")
     os.makedirs(stale_tmp)
     os.utime(stale_tmp, (time.time() - 7200, time.time() - 7200))
@@ -120,17 +127,19 @@ def test_operator_cache_migration_and_tmp_sweep(tmp_path):
     os.makedirs(fresh_tmp)
 
     cache = OperatorCache(d)
-    assert not os.path.exists(os.path.join(d, "ops_v2_deadbeef_L3_N2432"))
-    assert not os.path.exists(stale_tmp)  # older than the sweep horizon
-    assert os.path.exists(fresh_tmp)  # live concurrent writer untouched
-
-    import numpy as np
+    cache.load("fp", 2, 64, kind="dense")
+    assert os.path.exists(old_entry)  # reads/construction never sweep
 
     cache.store("fp", 2, 64, {"a": np.arange(3)}, kind="dense")
+    assert not os.path.exists(old_entry)
+    assert not os.path.exists(stale_tmp)  # older than the sweep horizon
+    assert os.path.exists(fresh_tmp)  # live concurrent writer untouched
+    assert os.path.exists(unrelated)  # full-pattern match only
+
     cache.store("fp", 2, 64, {"b": np.arange(4)}, kind="struct")
     dense = cache.load("fp", 2, 64, kind="dense")
     struct = cache.load("fp", 2, 64, kind="struct")
     assert set(dense) == {"a"} and set(struct) == {"b"}
-    # a second init must not touch current-format entries
-    OperatorCache(d)
+    # a second writer must not touch current-format entries
+    OperatorCache(d).store("fp2", 1, 8, {"c": np.arange(2)})
     assert cache.load("fp", 2, 64, kind="dense") is not None

@@ -58,6 +58,16 @@ def _default_models() -> list[str]:
     key = os.environ.get("SVT_ROTATION")
     day = int(key) if key else datetime.date.today().toordinal()
     rotating = [pool[(2 * day + i) % len(pool)] for i in range(2)]
+    # record the effective key at collection time so a rotation-only
+    # failure is reproducible (SVT_ROTATION=<day> re-pins it) even when
+    # the rerun crosses a day boundary (ADVICE r3)
+    import sys
+
+    print(
+        f"[semantic-equality] rotation key={day} "
+        f"(SVT_ROTATION={'unset' if not key else key}) rotating={rotating}",
+        file=sys.stderr,
+    )
     return anchors + sorted(set(rotating))
 
 
