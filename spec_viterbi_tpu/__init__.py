@@ -26,6 +26,14 @@ from spec_viterbi_tpu.models import (
     viterbi_path_oracle,
     viterbi_scores_oracle,
 )
+from spec_viterbi_tpu.scheduler import (
+    Route,
+    Workload,
+    decode_auto,
+    execute_route,
+    plan_route,
+    stream_engine,
+)
 
 __version__ = "0.1.0"
 
@@ -44,4 +52,10 @@ __all__ = [
     "StructuredSpecializedViterbi",
     "viterbi_scores_oracle",
     "viterbi_path_oracle",
+    "Route",
+    "Workload",
+    "plan_route",
+    "execute_route",
+    "decode_auto",
+    "stream_engine",
 ]

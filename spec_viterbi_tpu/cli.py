@@ -137,6 +137,24 @@ def _cmd_decode(args) -> int:
                     f"min={np.min(v):.4f}"
                 )
         return 0
+    if args.mode == "auto":
+        # default: the scheduler picks the execution regime (batched /
+        # time-parallel / …) from the workload shape; explicit flags
+        # (--mode, --spec-level, --stream-chunk, --time-parallel) override
+        from spec_viterbi_tpu.scheduler import decode_auto
+
+        results = decode_auto(hmm, seqs, paths=args.path, verbose=True)
+        if args.path:
+            for i, (scores, path) in enumerate(results):
+                print(f"seq {i}: best={np.min(scores):.4f} path={path.tolist()}")
+        else:
+            for i, v in enumerate(results):
+                head = " ".join(f"{x:.4f}" for x in v[:8])
+                print(
+                    f"seq {i}: [{head}{' ...' if len(v) > 8 else ''}] "
+                    f"min={np.min(v):.4f}"
+                )
+        return 0
     dec = ViterbiDecoder(hmm, mode=args.mode)
     if args.path:
         for i, (scores, path) in enumerate(dec.decode_path_batch(seqs)):
