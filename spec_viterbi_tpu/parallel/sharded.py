@@ -247,19 +247,19 @@ class StreamDP:
     def _put(self, arr):
         return jax.device_put(arr, self._sh)
 
-    def _stage_prepped(self, chunk, t_c: int):
+    def _stage_prepped(self, chunk, t_c: int, valid=None):
         """T-quantize + upload an already lane-padded [t_c, B_pad] chunk,
         placed with the mesh sharding (the single-chip staging protocol
         with a placement hook)."""
-        return self.fd._stage_quantized(chunk, t_c, put=self._put)
+        return self.fd._stage_quantized(chunk, t_c, put=self._put, valid=valid)
 
-    def _stage_chunk(self, carry, b_real: int, chunk):
+    def _stage_chunk(self, carry, b_real: int, chunk, valid=None):
         """Validate/lane-pad/T-quantize a chunk for the sharded feed."""
-        prep = self.fd._prep_stream_chunk(carry, b_real, chunk)
+        prep = self.fd._prep_stream_chunk(carry, b_real, chunk, valid)
         if prep is None:
             return None
-        chunk, t_c = prep
-        return (*self._stage_prepped(chunk, t_c), t_c)
+        chunk, t_c, valid = prep
+        return (*self._stage_prepped(chunk, t_c, valid), t_c)
 
     def _begin_state(self, first_symbols):
         from spec_viterbi_tpu.hmm import validate_obs_seq
@@ -282,10 +282,10 @@ class StreamDP:
         carry, b_real = self._begin_state(first_symbols)
         return StreamState(carry, b_real)
 
-    def feed(self, state, chunk):
+    def feed(self, state, chunk, valid=None):
         from spec_viterbi_tpu.ops.fused_pallas import StreamState
 
-        staged = self._stage_chunk(state.carry, state.b_real, chunk)
+        staged = self._stage_chunk(state.carry, state.b_real, chunk, valid)
         if staged is None:
             return state
         chunk_d, lengths_d, _ = staged
@@ -306,17 +306,17 @@ class StreamDP:
         carry, b_real = self._begin_state(first_symbols)
         return PathStreamState(carry, b_real, (), ())
 
-    def feed_path(self, state, chunk):
+    def feed_path(self, state, chunk, valid=None):
         from spec_viterbi_tpu.ops.fused_pallas import (
             PathStreamState,
             StreamChunk,
         )
         from spec_viterbi_tpu.utils.batching import quantize_t
 
-        prep = self.fd._prep_stream_chunk(state.carry, state.b_real, chunk)
+        prep = self.fd._prep_stream_chunk(state.carry, state.b_real, chunk, valid)
         if prep is None:
             return state
-        chunk, t_c = prep
+        chunk, t_c, valid = prep
         # per-shard budget: each device materializes its own bp block
         if not self.fd.path_supported(
             quantize_t(t_c) + 1, batch=chunk.shape[1] // self._d
@@ -325,7 +325,7 @@ class StreamDP:
                 f"path chunk of {t_c} symbols exceeds the per-device "
                 f"backpointer budget; feed smaller chunks"
             )
-        chunk_d, lengths_d = self._stage_prepped(chunk, t_c)
+        chunk_d, lengths_d = self._stage_prepped(chunk, t_c, valid)
         return PathStreamState(
             self._feed_fn(state.carry, chunk_d, lengths_d),
             state.b_real,

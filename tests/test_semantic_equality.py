@@ -222,3 +222,51 @@ def test_all_paths_agree(model, sequences):
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))
+
+
+def test_ragged_stream_nonfused_model_in_matrix():
+    """Equality case for the universal-streaming gap (VERDICT r3 #6): a
+    NON-fused-eligible model streamed with per-lane ragged valid counts —
+    every lane shares one XLA-fallback stream, finishes at its own
+    length, and must agree with the serial decoders and the oracle."""
+    from spec_viterbi_tpu.io.generators import generate_random_hmm
+    from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+    from spec_viterbi_tpu.ops.fused_pallas import fused_eligible
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    hmm = generate_random_hmm(
+        states_num=48, trans_per_state=24, emit_range=6, seed=9
+    )
+    sop = StructuredOperator.from_hmm(hmm)
+    assert not fused_eligible(sop)  # the case the fallback engine exists for
+    eng = XLAStreamDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+    )
+    rng = np.random.default_rng(5)
+    lens = [53, 21, 64, 2]
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens]
+    t_max = max(lens)
+    block = np.zeros((t_max, len(seqs)), np.int32)
+    for i, s in enumerate(seqs):
+        block[: len(s), i] = s
+    st = eng.stream_begin(block[0])
+    width = 19  # uneven: exercises quantized masked feeds mid-lane-end
+    for pos in range(1, t_max, width):
+        w = min(width, t_max - pos)
+        valid = np.clip([t - pos for t in lens], 0, w)
+        st = eng.stream_feed(st, block[pos : pos + w], valid=valid)
+    got = eng.stream_scores(st)
+
+    dense = ViterbiDecoder(hmm, mode="dense")
+    structured = ViterbiDecoder(hmm, mode="structured", use_pallas=False)
+    for i, s in enumerate(seqs):
+        results = {
+            "ragged_stream_xla": got[i],
+            "dense": dense.decode(s),
+            "structured": structured.decode(s),
+            "oracle": viterbi_scores_oracle(hmm, s),
+        }
+        for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
+            assert almost_equal_vec(va, vb), (na, nb, i)

@@ -348,3 +348,86 @@ def test_stream_validation():
         fd.stream_feed(state, np.full((2, 2), 99, np.int32))  # bad symbol
     with pytest.raises(ValueError):
         fd.stream_begin(np.array([], dtype=np.int32))
+
+
+# ---- per-lane ragged streaming (VERDICT r3 #6) ------------------------
+
+
+def _engines(hmm):
+    """Both stream engines for one model: fused Pallas (interpret) and
+    the universal XLA fallback — the protocol-parity pair."""
+    from spec_viterbi_tpu.models.streaming_xla import XLAStreamDecoder
+
+    sop = StructuredOperator.from_hmm(hmm)
+    em = hmm.emission_matrix(pad_to=sop.n)
+    pi = hmm.start_vector(pad_to=sop.n)
+    return {
+        "fused": FusedStructuredDecoder(sop, em, pi, interpret=True),
+        "xla": XLAStreamDecoder(sop, em, pi),
+    }
+
+
+def _ragged_feed(eng, seqs, width, paths=False):
+    """Stream ragged lanes through fixed-width chunks with per-lane valid
+    counts; returns (scores [B, Np], paths [B, T_pad] | None)."""
+    lens = [len(s) for s in seqs]
+    t_max = max(lens)
+    block = np.zeros((t_max, len(seqs)), np.int32)  # 0-padded tails
+    for i, s in enumerate(seqs):
+        block[: len(s), i] = s
+    begin = eng.stream_begin_path if paths else eng.stream_begin
+    feed = eng.stream_feed_path if paths else eng.stream_feed
+    state = begin(block[0])
+    pos = 1
+    while pos < t_max:
+        w = min(width, t_max - pos)
+        valid = np.clip([ln - pos for ln in lens], 0, w)
+        state = feed(state, block[pos : pos + w], valid=valid)
+        pos += w
+    if paths:
+        return eng.stream_path_finalize(state)
+    return eng.stream_scores(state), None
+
+
+@pytest.mark.parametrize("engine", ["fused", "xla"])
+@pytest.mark.parametrize("width", [8, 16])
+def test_ragged_lane_stream_scores(engine, width):
+    """Per-lane valid counts: each lane's streamed scores must equal its
+    own whole-sequence decode (finished lanes freeze mid-chunk)."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    eng = _engines(hmm)[engine]
+    rng = np.random.default_rng(31 + width)
+    lens = [31, 17, 44, 2, 1]
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens]
+    got, _ = _ragged_feed(eng, seqs, width)
+    for g, s in zip(got, seqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
+
+
+@pytest.mark.parametrize("engine", ["fused", "xla"])
+def test_ragged_lane_stream_paths(engine):
+    """Ragged path streaming: sliced to each lane's true length, paths
+    must match the oracle exactly (frozen steps are identity pointers)."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    eng = _engines(hmm)[engine]
+    rng = np.random.default_rng(77)
+    lens = [29, 12, 40]
+    seqs = [rng.integers(0, hmm.emit_num, size=t).astype(np.int32) for t in lens]
+    scores, paths = _ragged_feed(eng, seqs, 16, paths=True)
+    for i, s in enumerate(seqs):
+        osc, op = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(scores[i], osc[: scores.shape[1]])
+        assert np.array_equal(paths[i, : len(s)], op), (engine, i)
+
+
+def test_ragged_valid_validation():
+    hmm = read_hmm(os.path.join(TEST_CHMMS, "3_test_chmm.chmm"))
+    eng = _engines(hmm)["xla"]
+    state = eng.stream_begin(np.zeros(3, np.int32))
+    chunk = np.zeros((5, 3), np.int32)
+    with pytest.raises(ValueError, match="valid"):
+        eng.stream_feed(state, chunk, valid=np.array([1, 2], np.int32))
+    with pytest.raises(ValueError, match="valid"):
+        eng.stream_feed(state, chunk, valid=np.array([1, 6, 2], np.int32))
