@@ -25,6 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spec_viterbi_tpu.bench.bench_viterbi import (
+    ARTIFACT_LEVELS,
+    ARTIFACT_MODES,
+    ARTIFACT_STRUCT_LEVELS,
     benchmark_viterbi_impls_to_dat_file,
     benchmark_viterbi_spec_impls_to_dat_file,
 )
@@ -48,7 +51,7 @@ def main():
             CHMM_DIR,
             ess,
             os.path.join(OUT_DIR, f"Viterbi_bench_{ds}.dat"),
-            modes=("dense", "structured"),
+            modes=ARTIFACT_MODES,
             times_to_run=10,
         )
         print(f"=== non-spec {ds} done in {time.time()-t0:.0f}s ===", flush=True)
@@ -60,11 +63,11 @@ def main():
             CHMM_DIR,
             ess,
             os.path.join(OUT_DIR, f"Viterbi_spec_bench_{ds}.dat"),
-            levels=(1, 2),
+            levels=ARTIFACT_LEVELS,
             # level 3 only for the structured store (O(E^L·N) — 1.3 GB at
             # 2405 states where dense would need 176 GiB); the reference
             # tests L3 but cannot bench it anywhere (test_helper.h:23)
-            struct_levels=(1, 2, 3),
+            struct_levels=ARTIFACT_STRUCT_LEVELS,
             times_to_run=3,
             prep_times_to_run=3,
             max_spec_bytes=2 << 30,

@@ -34,6 +34,32 @@ from spec_viterbi_tpu.models.specializer import SpecializedViterbi
 
 DEFAULT_MODES = ("dense", "structured")
 
+# THE committed-artifact configuration (scripts/make_artifacts.py runs it;
+# tests/test_artifact_freshness.py asserts every committed bench_out .dat
+# carries exactly these columns, so code/artifact drift fails CI instead
+# of waiting for a reader to notice — VERDICT r3 #8).
+ARTIFACT_MODES = DEFAULT_MODES
+ARTIFACT_LEVELS = (1, 2)
+ARTIFACT_STRUCT_LEVELS = (1, 2, 3)
+
+
+def nonspec_headers(modes: tuple[str, ...] = DEFAULT_MODES) -> list[str]:
+    """Column contract of a non-spec ``.dat`` (``bench_Viterbi.h:31``)."""
+    return ["States", *modes]
+
+
+def spec_headers(
+    levels: tuple[int, ...] = ARTIFACT_LEVELS,
+    struct_levels: tuple[int, ...] = ARTIFACT_STRUCT_LEVELS,
+) -> list[str]:
+    """Column contract of a spec ``.dat``: paired prep/decode columns per
+    impl × level (``bench_Viterbi_spec.h:29-47``)."""
+    headers = ["States"]
+    for name, impl_levels in (("spec", levels), ("spec_struct", struct_levels)):
+        for level in impl_levels:
+            headers += [f"{name}_{level}_prep", f"{name}_{level}"]
+    return headers
+
 # Axon remote compiles occasionally stall outright (bench.py has the same
 # guard); a hung compile must cost one NaN cell, not the whole sweep.
 CELL_DEADLINE_S = int(os.environ.get("SVT_BENCH_CELL_DEADLINE_S", "900"))
@@ -121,9 +147,7 @@ def benchmark_viterbi_impls_to_dat_file(
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench]   -> {row}")
-    harness.print_benchmarks_to_file_as_dat(
-        out_path, ["States", *modes], bench
-    )
+    harness.print_benchmarks_to_file_as_dat(out_path, nonspec_headers(modes), bench)
     return bench
 
 
@@ -218,10 +242,7 @@ def benchmark_viterbi_spec_impls_to_dat_file(
         ("spec", SpecializedViterbi, levels),
         ("spec_struct", StructuredSpecializedViterbi, struct_levels or levels),
     )
-    headers = ["States"]
-    for name, _, impl_levels in impls:
-        for level in impl_levels:
-            headers += [f"{name}_{level}_prep", f"{name}_{level}"]
+    headers = spec_headers(levels, struct_levels or levels)
 
     max_sym = max((int(s.max()) for s in seqs if len(s)), default=-1)
     bench: dict[int, list[float]] = {}
