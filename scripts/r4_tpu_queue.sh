@@ -27,7 +27,7 @@ stage() { # name timeout_s command...
 }
 
 # 1. verify drive (end-to-end on the real TPU; warms flagship shapes)
-stage verify 1200 python scripts/r3_verify_drive.py
+stage verify 1200 python scripts/verify_drive.py
 
 # 2. headline benchmark (per-mode subprocess kills; always prints JSON)
 stage bench 1800 python bench.py

@@ -1,7 +1,8 @@
-"""Round-3 TPU verify drive (.claude/skills/verify/SKILL.md recipe plus
-this round's new surfaces): real-corpus parse, every compute path vs the
-oracle, universal streaming, batched level-L dense spec, fused TP on a
-banded model, time-parallel decode — all on the real TPU."""
+"""TPU verify drive (.claude/skills/verify/SKILL.md recipe plus each
+round's new surfaces): real-corpus parse, every compute path vs the
+oracle, universal streaming (incl. ragged lanes), batched level-L dense
+spec, fused TP on a banded model, time-parallel decode, scheduler routes
+— all on the real TPU."""
 
 import os
 import sys
@@ -130,6 +131,34 @@ def main() -> int:
     _, topath = svt.viterbi_path_oracle(hmm, seq)
     assert np.array_equal(tpath, topath)
     print("time-parallel OK", flush=True)
+
+    # ragged streaming: per-lane valid counts on the fused engine (r4)
+    rlens = [90, 40, 128]
+    rb = np.zeros((128, 3), np.int32)
+    for i, ln in enumerate(rlens):
+        rb[:ln, i] = seqs[i % len(seqs)][:ln]
+    st = eng.stream_begin(rb[0])
+    pos = 1
+    while pos < 128:
+        w = min(48, 128 - pos)
+        st = eng.stream_feed(
+            st, rb[pos : pos + w], valid=np.clip([ln - pos for ln in rlens], 0, w)
+        )
+        pos += w
+    rg = eng.stream_scores(st)
+    for i, ln in enumerate(rlens):
+        assert svt.almost_equal_vec(
+            rg[i, : hmm.states_num], svt.viterbi_scores_oracle(hmm, rb[:ln, i])
+        ), f"ragged stream lane {i}"
+    print("ragged streaming OK", flush=True)
+
+    # scheduler: plan + execute without route names (r4)
+    auto = svt.decode_auto(hmm, [s[:200] for s in seqs[:2]], verbose=True)
+    for g, s in zip(auto, seqs):
+        assert svt.almost_equal_vec(g, svt.viterbi_scores_oracle(hmm, s[:200]))
+    wl = svt.Workload.from_seqs([seqs[0]])
+    assert svt.plan_route(hmm, wl).kind == "time_parallel"
+    print("scheduler OK", flush=True)
 
     print("VERIFY DRIVE OK on", jax.default_backend())
     return 0
