@@ -169,6 +169,8 @@ def _run_child(mode: str) -> int:
     if mode in _fault_modes("hang"):  # pragma: no branch - test-only path
         while True:  # simulate a native call SIGALRM can't preempt
             time.sleep(3600)
+    if mode in _fault_modes("fail"):  # deterministic child failure
+        sys.exit(3)
     if mode in _fault_modes("stub"):
         results = (
             {"structured": 46.5e6, "us_per_step": 11.0}
@@ -186,10 +188,12 @@ def _run_child(mode: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _run_mode(mode: str, timeout_s: int) -> dict | None:
+def _run_mode(mode: str, timeout_s: int) -> tuple[str, dict | None]:
     """One mode in its own process group; SIGKILL the group on timeout
-    (the child's exact pgid — never a pattern kill). Returns the child's
-    parsed result dict, or None."""
+    (the child's exact pgid — never a pattern kill). Returns
+    ``(status, result)`` with status in {"ok", "timeout", "failed"} — the
+    caller retries ONLY timeouts (a nonzero child exit is deterministic;
+    re-running an identical failure wastes the retry budget)."""
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child", mode],
         stdout=subprocess.PIPE,
@@ -206,17 +210,17 @@ def _run_mode(mode: str, timeout_s: int) -> dict | None:
             pass
         proc.wait()
         print(f"[bench] {mode} mode killed after {timeout_s}s", file=sys.stderr)
-        return None
+        return "timeout", None
     if proc.returncode != 0:
         print(
             f"[bench] {mode} mode exited rc={proc.returncode}", file=sys.stderr
         )
-        return None
+        return "failed", None
     for line in out.splitlines():
         if line.startswith(RESULT_TAG):
-            return json.loads(line[len(RESULT_TAG):])
+            return "ok", json.loads(line[len(RESULT_TAG):])
     print(f"[bench] {mode} mode printed no result line", file=sys.stderr)
-    return None
+    return "failed", None
 
 
 def main() -> int:
@@ -226,16 +230,19 @@ def main() -> int:
     # occasionally stalls on its FIRST encounter with a shape; the retry
     # usually succeeds because the compile-server cache keeps whatever the
     # killed attempt finished. The retry budget is shorter: it should be
-    # hitting warm caches.
-    got = _run_mode("structured", _budget("SVT_BENCH_TIMEOUT_STRUCTURED", 420))
-    if got is None:
-        got = _run_mode("structured", _budget("SVT_BENCH_TIMEOUT_RETRY", 300))
+    # hitting warm caches. Deterministic (non-timeout) failures are NOT
+    # retried.
+    status, got = _run_mode(
+        "structured", _budget("SVT_BENCH_TIMEOUT_STRUCTURED", 420)
+    )
+    if status == "timeout":
+        _, got = _run_mode("structured", _budget("SVT_BENCH_TIMEOUT_RETRY", 300))
     if got:
         results.update(got)
 
     # Dense XLA baseline — runs REGARDLESS of what structured did (round 3
     # lost the entire number because one structured stall starved this).
-    got = _run_mode("dense", _budget("SVT_BENCH_TIMEOUT_DENSE", 240))
+    _, got = _run_mode("dense", _budget("SVT_BENCH_TIMEOUT_DENSE", 240))
     if got:
         results.update(got)
 

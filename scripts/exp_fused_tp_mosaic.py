@@ -44,6 +44,11 @@ def main() -> int:
     from test_fused_tp import banded_hmm
 
     backend = jax.default_backend()
+    if not small and backend != "tpu":
+        # the gate's whole point is Mosaic; an interpret-mode pass would
+        # be a false green and must not produce the hardware artifact
+        print(f"refusing to run the Mosaic gate on backend={backend!r}")
+        return 2
     interpret = backend != "tpu"
     results = {"backend": backend, "cases": []}
 

@@ -150,11 +150,17 @@ def benchmark_ragged(
             fd.decode_path_batch(
                 _workload(lens, hmm.emit_num, 998 + voff), bucketed=bucketed
             )
-        except ValueError as exc:
-            # ONLY the documented HBM-budget rejection becomes the NaN
-            # memory-policy column; any other failure is a real
-            # decode_path_batch regression and must propagate (ADVICE r3)
-            if "budget" not in str(exc):
+        except Exception as exc:
+            # ONLY the documented memory-policy failures become the NaN
+            # column: the library's own budget rejection (ValueError) or a
+            # device RESOURCE_EXHAUSTED — the whole-batch variant has no
+            # pre-flight guard and hits real HBM OOM on big models. Any
+            # other failure is a decode_path_batch regression and must
+            # propagate (ADVICE r3).
+            oom = "RESOURCE_EXHAUSTED" in str(exc) or "out of memory" in str(
+                exc
+            ).lower()
+            if not (isinstance(exc, ValueError) and "budget" in str(exc)) and not oom:
                 raise
             path_times[bucketed] = None
     for rep in range(times_to_run):

@@ -471,6 +471,12 @@ class FusedTPDecoder:
             dv_wins.append(self._dv_pad[s0 : s0 + n_win])
             em_wins.append(self._em_pad[s0 : s0 + n_win])
 
+        # jit the window calls ONCE: eager pallas_call would rebuild the
+        # kernel and re-query the remote compiler per (shard, chunk) —
+        # ~32 round trips per case at the production shapes
+        win_call = jax.jit(self._pallas_win)
+        path_call = jax.jit(self._path_pallas_win) if check_path_kernel else None
+
         # global padded carry [h_lo + n + h_hi, B] (true +inf space)
         b = seqs_t.shape[1]
         em_full = np.asarray(self._em_pad)
@@ -491,11 +497,9 @@ class FusedTPDecoder:
             for r in range(shards):
                 s0 = r * block
                 win = jax.lax.dynamic_slice(v_pad, (s0, 0), (n_win, b))
-                out_win = self._pallas_win(
-                    win, dv_wins[r], em_wins[r], obs_c, len_c
-                )
+                out_win = win_call(win, dv_wins[r], em_wins[r], obs_c, len_c)
                 if check_path_kernel:
-                    out_pk, _src = self._path_pallas_win(
+                    out_pk, _src = path_call(
                         win, dv_wins[r], em_wins[r], obs_c, len_c
                     )
                     if not np.array_equal(

@@ -156,14 +156,18 @@ def plan_route(
                 "tp_chunked",
                 f"{why}; banded operator: chunked-halo fused TP "
                 f"(2 ppermutes per {chunk}-step chunk)",
-                {"chunk": chunk, "shards": state_shards},
+                {
+                    "chunk": chunk,
+                    "shards": state_shards,
+                    "capacity_bound": capacity_bound,
+                },
             )
         if structured_tp_supported(sop, state_shards):
             return Route(
                 "tp_halo",
                 f"{why}; coupled operator needs per-step exchange "
                 "(64 B/step halo TP, the communication lower bound)",
-                {"shards": state_shards},
+                {"shards": state_shards, "capacity_bound": capacity_bound},
             )
         # fall through: unshardable operator — DP is still correct
         # (capacity-bound models may simply OOM; surface that in reason)
@@ -267,13 +271,21 @@ def execute_route(
             decode_batch_structured_tp,
         )
 
-        scores = decode_batch_structured_tp(hmm, seqs, mesh)
         if paths:
-            # halo TP has no sharded-backpointer path; rematerialize paths
-            # per sequence on the unsharded decoder (exact, same oracle)
+            # halo TP has no sharded-backpointer path. When the route was
+            # chosen for LATENCY the model fits one chip, so rematerialize
+            # paths on the unsharded decoder (exact, same oracle); when it
+            # was chosen for CAPACITY an unsharded fallback would OOM by
+            # the very premise that picked TP — refuse loudly.
+            if route.params.get("capacity_bound"):
+                raise ValueError(
+                    "exact paths are not available under capacity-bound "
+                    "halo TP (no state-sharded backpointers for coupled "
+                    "operators); decode scores, or stream per time chunk"
+                )
             dec = ViterbiDecoder(hmm, use_pallas=False)
             return [dec.decode_path(s) for s in seqs]
-        return scores
+        return decode_batch_structured_tp(hmm, seqs, mesh)
 
     if route.kind == "dp":
         from spec_viterbi_tpu.ops.fused_pallas import (
@@ -296,15 +308,14 @@ def execute_route(
             if paths:
                 return decode_path_batch_dp_fused(fd, seqs, mesh)
             return decode_batch_dp_fused(fd, seqs, mesh)
+        if paths:  # irregular operator: per-sequence argmin scan (exact)
+            dec = ViterbiDecoder(hmm, use_pallas=False)
+            return [dec.decode_path(s) for s in seqs]
         from spec_viterbi_tpu.parallel.structured_tp import (
             decode_batch_structured_dp,
         )
 
-        scores = decode_batch_structured_dp(hmm, seqs, mesh)
-        if paths:
-            dec = ViterbiDecoder(hmm, use_pallas=False)
-            return [dec.decode_path(s) for s in seqs]
-        return scores
+        return decode_batch_structured_dp(hmm, seqs, mesh)
 
     # "batch": the single-device decoder owns the fused/structured/dense
     # sub-choice (and its own bucketing/backpointer budgets)

@@ -115,7 +115,7 @@ def test_spec_bench_struct_level3_cell_runs(tmp_path):
         assert np.isfinite(dec3) and dec3 >= 0
 
 
-def _run_bench_py(env_extra: dict) -> tuple[int, str]:
+def _run_bench_py(env_extra: dict) -> tuple[int, str, str]:
     import subprocess
     import sys
 
@@ -128,7 +128,7 @@ def _run_bench_py(env_extra: dict) -> tuple[int, str]:
         env=env,
         timeout=120,
     )
-    return proc.returncode, proc.stdout
+    return proc.returncode, proc.stdout, proc.stderr
 
 
 def test_bench_py_survives_hung_mode():
@@ -141,7 +141,7 @@ def test_bench_py_survives_hung_mode():
     import time
 
     t0 = time.time()
-    rc, out = _run_bench_py(
+    rc, out, err = _run_bench_py(
         {
             "SVT_BENCH_FAULT": "hang=structured;stub=dense",
             "SVT_BENCH_TIMEOUT_STRUCTURED": "2",
@@ -149,6 +149,7 @@ def test_bench_py_survives_hung_mode():
             "SVT_BENCH_TIMEOUT_DENSE": "30",
         }
     )
+    assert err.count("structured mode killed") == 2  # timeout IS retried
     assert rc == 0
     line = json.loads(out.strip().splitlines()[-1])
     assert line["metric"] == "decoded_obs_symbols_per_s_per_chip_2405"
@@ -160,7 +161,7 @@ def test_bench_py_survives_hung_mode():
 def test_bench_py_all_modes_dead_is_the_only_failure():
     import json
 
-    rc, out = _run_bench_py(
+    rc, out, _ = _run_bench_py(
         {
             "SVT_BENCH_FAULT": "hang=structured,dense",
             "SVT_BENCH_TIMEOUT_STRUCTURED": "1",
@@ -170,7 +171,7 @@ def test_bench_py_all_modes_dead_is_the_only_failure():
     )
     assert rc != 0
 
-    rc, out = _run_bench_py({"SVT_BENCH_FAULT": "stub=structured,dense"})
+    rc, out, _ = _run_bench_py({"SVT_BENCH_FAULT": "stub=structured,dense"})
     assert rc == 0
     line = json.loads(out.strip().splitlines()[-1])
     assert line["value"] == 46.5e6
@@ -234,3 +235,22 @@ def test_cli_decode(capsys):
     )
     assert rc == 0
     assert "path=" in capsys.readouterr().out
+
+
+def test_bench_py_no_retry_on_deterministic_failure():
+    """A nonzero child exit is deterministic: the parent must NOT burn the
+    retry budget re-running it (only timeouts retry)."""
+    import json
+
+    rc, out, err = _run_bench_py(
+        {
+            "SVT_BENCH_FAULT": "fail=structured;stub=dense",
+            "SVT_BENCH_TIMEOUT_STRUCTURED": "30",
+            "SVT_BENCH_TIMEOUT_RETRY": "30",
+            "SVT_BENCH_TIMEOUT_DENSE": "30",
+        }
+    )
+    assert rc == 0
+    assert err.count("structured mode exited rc=3") == 1  # exactly one attempt
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["value"] == 152000.0

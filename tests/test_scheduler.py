@@ -71,7 +71,7 @@ def test_capacity_bound_model_routes_tp(pfam, banded):
     assert "exceed" in r.reason
     r = plan_route(banded, _wl(hbm_bytes=1024), mesh)
     assert r.kind == "tp_chunked"
-    assert r.params == {"chunk": 16, "shards": 4}
+    assert r.params == {"chunk": 16, "shards": 4, "capacity_bound": True}
 
 
 def test_latency_bound_needs_big_n(pfam):
@@ -182,3 +182,14 @@ def test_execute_tp_routes(pfam, banded):
 def test_stream_route_refuses_materialized_execute(pfam):
     with pytest.raises(ValueError, match="stream"):
         execute_route(pfam, [], Route("stream_fused", ""))
+
+
+def test_capacity_bound_halo_paths_refused(pfam):
+    """Exact paths under CAPACITY-bound halo TP must refuse loudly — an
+    unsharded path fallback would OOM by the premise that chose TP."""
+    mesh = make_mesh(state=4)
+    route = plan_route(pfam, _wl(hbm_bytes=1024), mesh)
+    assert route.kind == "tp_halo" and route.params["capacity_bound"]
+    route_p = Route(route.kind, route.reason, {**route.params, "paths": True})
+    with pytest.raises(ValueError, match="capacity-bound"):
+        execute_route(pfam, [np.zeros(4, np.int32)], route_p, mesh)
