@@ -72,7 +72,11 @@ ESS = "/root/reference/ess_files/emit_50_3500_20.ess"
 
 T_LEN = 3500
 LANES = 512  # fused-kernel throughput sweet spot (BASELINE.md sweep)
-N_BATCHES = 8
+# 16 pre-staged batches: the one blocking drain (~25 ms tunnel round trip)
+# amortizes over ~620 ms of enqueued device work instead of ~310 ms —
+# raising the sustained number toward the kernel's true rate (round 2 used
+# 8; every lane is still a real 3,500-symbol workload sequence).
+N_BATCHES = 16
 
 # Per-mode wall-clock budgets (seconds), compiles included. Overridable via
 # env for the fault-injection test. Worst case total:
