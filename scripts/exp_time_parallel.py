@@ -38,9 +38,21 @@ def main() -> int:
     ap.add_argument("--t", type=int, default=3500)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--ks", nargs="+", type=int, default=[4, 8, 16, 32])
+    ap.add_argument(
+        "--composes", nargs="+", default=["scan", "tree"],
+        help="block-compose schedules to sweep (tree: k/log2(k) less HBM "
+             "traffic, needs power-of-two k)",
+    )
     ap.add_argument("--model", default=CHMM)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (interpret-mode fused engine; timings "
+                         "not hardware-representative)")
     args = ap.parse_args()
 
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from spec_viterbi_tpu.hmm import almost_equal_vec
@@ -57,7 +69,7 @@ def main() -> int:
     sop = StructuredOperator.from_hmm(hmm)
     em = hmm.emission_matrix(pad_to=sop.n)
     pi = hmm.start_vector(pad_to=sop.n)
-    fd = FusedStructuredDecoder(sop, em, pi)
+    fd = FusedStructuredDecoder(sop, em, pi, interpret=args.cpu)
 
     base = read_emit_seq(ESS)[0][: args.t].astype(np.int32)
     rng = np.random.default_rng(0)
@@ -85,7 +97,10 @@ def main() -> int:
     serial_scores = fd.decode_batch([seqs[0]], bucketed=False)[0]
 
     for k in args.ks:
-        tp = TimeParallelDecoder(sop, em, pi, k=k)
+      for compose in args.composes:
+        if compose == "tree" and (k & (k - 1)):
+            continue
+        tp = TimeParallelDecoder(sop, em, pi, k=k, compose=compose)
         # correctness first
         got = tp.decode(seqs[0])
         ok_oracle = bool(almost_equal_vec(got, oracle))
@@ -124,7 +139,7 @@ def main() -> int:
             (time.perf_counter() - t0) / max(2, args.reps // 2) * 1e3
         )
 
-        results[f"k{k}"] = {
+        results[f"k{k}_{compose}"] = {
             "scores_ms": round(tp_ms, 3),
             "speedup_vs_serial": round(serial_ms / tp_ms, 2),
             "path_ms": round(tp_path_ms, 3),
@@ -132,10 +147,17 @@ def main() -> int:
             "ok_path_exact": ok_path,
             "max_drift_vs_serial": drift,
             "slots": int(tp.r1 * k),
+            "band": int(tp.w_band),
         }
-        print(f"k={k}: {json.dumps(results[f'k{k}'])}", flush=True)
+        print(
+            f"k={k} {compose}: {json.dumps(results[f'k{k}_{compose}'])}",
+            flush=True,
+        )
 
     print(json.dumps(results))
+    if args.cpu:
+        print("cpu smoke OK (no artifact written)")
+        return 0
     out = os.path.join(REPO, "bench_out", "time_parallel_go_no_go.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

@@ -132,14 +132,41 @@ def _shift_traced(x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
 
 class TimeParallelDecoder:
-    """Single-sequence decoder that trades lane occupancy for latency."""
+    """Single-sequence decoder that trades lane occupancy for latency.
 
-    def __init__(self, sop: StructuredOperator, emissions, pi, k: int = 8):
+    ``compose`` picks the block-composition schedule:
+
+    - ``"scan"`` (default): sequential ``lax.scan`` over the k−1 steps.
+      HBM traffic ≈ k × the slot store (the whole padded store is
+      read+written per step).
+    - ``"tree"``: pairwise merges, log2(k) levels (k must be a power of
+      two). Same total FLOPs (the cross-dots term dominates both), but
+      the store is touched once per LEVEL — ≈ k/log2(k) less HBM traffic,
+      which matters because at production shape the store is ~400 MB and
+      compose is bandwidth-bound, not compute-bound. Float association
+      differs from the scan (and from serial decode) — both stay inside
+      the reference's ±1.0 contract, and paths rematerialize with the
+      exact serial rules either way.
+    """
+
+    def __init__(
+        self,
+        sop: StructuredOperator,
+        emissions,
+        pi,
+        k: int = 8,
+        compose: str = "scan",
+    ):
         if not time_parallel_supported(sop, k):
             raise ValueError(
                 f"composed band would exceed {MAX_BAND_SLOTS} slots at k={k} "
                 "(see time_parallel_supported)"
             )
+        if compose not in ("scan", "tree"):
+            raise ValueError(f"compose must be 'scan' or 'tree', got {compose!r}")
+        if compose == "tree" and (k & (k - 1)):
+            raise ValueError(f"tree compose needs k a power of two, got {k}")
+        self.compose = compose
         self.sop = sop
         self.k = int(k)
         self.n = sop.n
@@ -156,7 +183,9 @@ class TimeParallelDecoder:
         self._em_t = jnp.asarray(np.asarray(emissions).T)  # [N, E]
         self._pi = jnp.asarray(np.asarray(pi))
         self._arrs = sop.device_arrays()
-        self._jit_compose = jax.jit(self._compose)
+        self._jit_compose = jax.jit(
+            self._compose if compose == "scan" else self._compose_tree
+        )
         self._jit_fold = jax.jit(self._fold)
 
         # operator/emission arrays thread through jit as ARGUMENTS, not
@@ -285,6 +314,85 @@ class TimeParallelDecoder:
         else:
             bv, acc_u, acc_w = bv0, acc_u0, acc_w0
         return bv, acc_u, acc_w
+
+    def _compose_tree(self, dv1, uu1, ww1, syms):
+        """syms [nb, k] → block operators via pairwise merges (log2(k)
+        levels). Same output schema as :meth:`_compose` (band slot j =
+        offset k·min_d + j; R1·k rank-1 slots), so ``_fold`` and the path
+        remat are shared.
+
+        Merge C = A ⊗ B (A later in time) of two t-operator composites
+        (bands at offsets t·min_d + i, rank-1 slot lists):
+
+        - band: offset sums — ``new_bv[i+j] = A_bv[i] + shift(B_bv[j],
+          t·min_d + i)`` min-merged; width 2W−1.
+        - B's slots keep their w; their u min-merges A's band applied to
+          it with the cross term ``min_a (u_a + dot(w_a, U_s))``.
+        - A's slots keep their u; their w composes through B's band
+          (``min_j shift(w_a + B_bv[j], −(t·min_d+j))``); their cross
+          with B's slots is already the inherited-slot term.
+
+        Every shift amount is static (t is a Python constant per level) —
+        no traced rolls at all, unlike the scan's new-slot placement.
+        """
+        k, r1 = self.k, self.r1
+        min_d, span = self.min_d, self.span
+        nb, n = syms.shape[0], dv1.shape[-1]
+
+        # level 0: nb·k level-1 operators, band width span+1
+        flat = syms.reshape(nb * k)
+        bv = jnp.full((nb * k, span + 1, n), jnp.inf, jnp.float32)
+        for i, d_i in enumerate(self.offsets):
+            bv = bv.at[:, d_i - min_d, :].set(dv1[flat, i])
+        uu = uu1[flat]  # [L, R1, N]
+        ww = ww1[flat]
+
+        t = 1
+        while t < k:
+            a_bv, b_bv = bv[1::2], bv[0::2]  # A later, B earlier
+            a_u, b_u = uu[1::2], uu[0::2]
+            a_w, b_w = ww[1::2], ww[0::2]
+            w_band = bv.shape[1]  # t·span + 1
+            new_w_band = 2 * w_band - 1
+
+            # band ⊗ band (i is static: plain slice-min accumulation)
+            new_bv = jnp.full((a_bv.shape[0], new_w_band, n), jnp.inf, jnp.float32)
+            for i in range(w_band):
+                term = a_bv[:, i, None, :] + _shift(b_bv, t * min_d + i)
+                new_bv = new_bv.at[:, i : i + w_band, :].min(term)
+
+            if r1:
+                # inherited (B) slots: A's band over U_s ∪ A-slot cross
+                u_band = jnp.full_like(b_u, jnp.inf)
+                for i in range(w_band):
+                    u_band = jnp.minimum(
+                        u_band, a_bv[:, i, None, :] + _shift(b_u, t * min_d + i)
+                    )
+                dots = jnp.min(
+                    a_w[:, :, None, :] + b_u[:, None, :, :], axis=-1
+                )  # [L/2, S_A, S_B]
+                cross = jnp.min(
+                    a_u[:, :, None, :] + dots[:, :, :, None], axis=1
+                )  # [L/2, S_B, N]
+                u_inh = jnp.minimum(u_band, cross)
+                # A slots: w composes through B's band (static shifts)
+                y = a_w[:, :, None, :] + b_bv[:, None, :, :]  # [L/2,S_A,W,N]
+                w_new = _shift(y[:, :, 0, :], -(t * min_d))
+                for j in range(1, w_band):
+                    w_new = jnp.minimum(
+                        w_new, _shift(y[:, :, j, :], -(t * min_d + j))
+                    )
+                uu = jnp.concatenate([u_inh, a_u], axis=1)
+                ww = jnp.concatenate([b_w, w_new], axis=1)
+            else:  # purely banded: keep the (empty) slot axis paired up
+                uu, ww = a_u, a_w
+            bv = new_bv
+            t *= 2
+
+        # pad the band to the scan layout's k·span+1 (they are equal when
+        # k is a power of two: 2^log·span + 1), slots already R1·k
+        assert bv.shape[1] == self.w_band
+        return bv, uu, ww
 
     # ---- phase 2: sequential fold over block operators ------------------
 

@@ -140,3 +140,54 @@ def test_band_width_cap():
             hmm.start_vector(pad_to=sop.n),
             k=k,
         )
+
+
+@pytest.mark.parametrize("k", [2, 4, 8, 16])
+def test_tree_compose_matches_scan_and_oracle(model, k):
+    """The pairwise tree compose (k/log2(k) less HBM traffic) must agree
+    with the scan compose, the oracle, and produce exact paths."""
+    hmm, sop, _ = model
+    em = hmm.emission_matrix(pad_to=sop.n)
+    pi = hmm.start_vector(pad_to=sop.n)
+    tp_tree = TimeParallelDecoder(sop, em, pi, k=k, compose="tree")
+    tp_scan = TimeParallelDecoder(sop, em, pi, k=k, compose="scan")
+    rng = np.random.default_rng(500 + k)
+    for t in (2, k + 1, 4 * k + 3):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        want = viterbi_scores_oracle(hmm, seq)
+        got_t = tp_tree.decode(seq)
+        got_s = tp_scan.decode(seq)
+        assert almost_equal_vec(got_t, want), (k, t)
+        finite = np.isfinite(want)
+        # scan and tree differ only by float association: ulp-scale
+        if finite.any():
+            assert np.max(np.abs(got_t[finite] - got_s[finite])) < 1e-3
+        _, path = tp_tree.decode_path(seq)
+        _, opath = viterbi_path_oracle(hmm, seq)
+        assert np.array_equal(path, opath), (k, t)
+
+
+def test_tree_compose_multi_diag():
+    from test_fused_tp import banded_hmm
+
+    hmm = banded_hmm(n=128, offsets=(-1, 1))
+    sop = StructuredOperator.from_hmm(hmm)
+    em = hmm.emission_matrix(pad_to=sop.n)
+    pi = hmm.start_vector(pad_to=sop.n)
+    tp = TimeParallelDecoder(sop, em, pi, k=4, compose="tree")
+    rng = np.random.default_rng(9)
+    for t in (2, 9, 30):
+        seq = rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+        assert almost_equal_vec(tp.decode(seq), viterbi_scores_oracle(hmm, seq)), t
+
+
+def test_tree_compose_rejects_non_power_of_two(model):
+    hmm, sop, _ = model
+    with pytest.raises(ValueError, match="power of two"):
+        TimeParallelDecoder(
+            sop,
+            hmm.emission_matrix(pad_to=sop.n),
+            hmm.start_vector(pad_to=sop.n),
+            k=6,
+            compose="tree",
+        )
