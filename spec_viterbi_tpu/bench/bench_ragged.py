@@ -193,4 +193,6 @@ def benchmark_ragged_to_dat_file(
         )
         bench[states] = row
         print(f"{path}: {['%.1f' % t for t in row]}", flush=True)
+        # per-model flush: killed sweeps keep their completed rows
+        print_benchmarks_to_file_as_dat(out_file, HEADERS, bench)
     print_benchmarks_to_file_as_dat(out_file, HEADERS, bench)

@@ -147,6 +147,10 @@ def benchmark_viterbi_impls_to_dat_file(
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench]   -> {row}")
+        # per-model flush: killed sweeps keep their completed rows
+        harness.print_benchmarks_to_file_as_dat(
+            out_path, nonspec_headers(modes), bench
+        )
     harness.print_benchmarks_to_file_as_dat(out_path, nonspec_headers(modes), bench)
     return bench
 
@@ -304,5 +308,9 @@ def benchmark_viterbi_spec_impls_to_dat_file(
         bench[hmm.states_num] = row
         if verbose:
             print(f"[bench-spec]   -> {row}")
+        # flush after EVERY model: a killed sweep (stage timeout, tunnel
+        # drop) keeps its completed rows — the file is complete-so-far at
+        # all times, and the final write is identical to the last flush
+        harness.print_benchmarks_to_file_as_dat(out_path, headers, bench)
     harness.print_benchmarks_to_file_as_dat(out_path, headers, bench)
     return bench
