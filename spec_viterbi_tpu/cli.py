@@ -124,6 +124,7 @@ def _cmd_decode(args) -> int:
             hmm.emission_matrix(pad_to=sop.n),
             hmm.start_vector(pad_to=sop.n),
             k=args.time_parallel,
+            compose=args.compose,
         )
         for i, s in enumerate(seqs):
             if args.path:
@@ -419,7 +420,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--time-parallel", type=int, default=0, metavar="K",
                    help="decode each sequence time-parallel with K-step "
                         "blocks mapped onto lanes (single-sequence "
-                        "latency path; single-diagonal operators)")
+                        "latency path; banded+low-rank operators)")
+    d.add_argument("--compose", default="scan", choices=("scan", "tree"),
+                   help="time-parallel block-compose schedule (tree: "
+                        "log2(K) HBM passes, needs power-of-two K)")
     d.set_defaults(fn=_cmd_decode)
 
     rb = sub.add_parser(
