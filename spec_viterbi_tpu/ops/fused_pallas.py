@@ -956,7 +956,18 @@ class FusedStructuredDecoder(_StreamAPI):
                     (idx[i : i + step], t_q) for i in range(0, len(idx), step)
                 ]
         else:
-            calls = [(list(range(len(seqs))), max(len(s) for s in seqs))]
+            t_max = max(len(s) for s in seqs)
+            if not self.path_supported(t_max, batch=len(seqs)):
+                # refuse BEFORE dispatch: the one-call whole-batch bp
+                # tensor would device-OOM (17.7 GB at 512 covid lanes ×
+                # 2405 states) — callers record this budget rejection as
+                # the NaN memory-policy column
+                raise ValueError(
+                    f"whole-batch path decode ({len(seqs)} lanes × "
+                    f"{t_max} steps) exceeds the backpointer budget; "
+                    f"use bucketed=True"
+                )
+            calls = [(list(range(len(seqs))), t_max)]
         outs = []
         for idx, t_q in calls:  # enqueue all calls, drain in order below
             st, ln, masked = self.prepare([seqs[i] for i in idx], t_pad=t_q)

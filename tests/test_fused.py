@@ -249,3 +249,32 @@ def test_fused_ragged_lengths_frozen_lanes():
     got = fd.decode_batch(seqs)
     for g, s in zip(got, seqs):
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
+def test_whole_batch_path_budget_refusal():
+    """bucketed=False must refuse over-budget shapes BEFORE dispatch (the
+    documented ValueError bench_ragged records as NaN), not device-OOM."""
+    import os
+
+    import pytest
+
+    from conftest import CHMM_DIR
+    from spec_viterbi_tpu.io import read_hmm
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    sop = StructuredOperator.from_hmm(hmm)
+    fd = FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+    )
+    seqs = [np.zeros(64, np.int32) for _ in range(4)]
+    old = fd.MAX_PATH_BYTES
+    try:
+        fd.MAX_PATH_BYTES = 1024  # force the budget wall
+        with pytest.raises(ValueError, match="budget"):
+            fd.decode_path_batch(seqs, bucketed=False)
+    finally:
+        fd.MAX_PATH_BYTES = old
