@@ -14,7 +14,7 @@ echo "2000000000 0 20" > /tmp/svt_hostile.chmm
 make -C spec_viterbi_tpu/native/src asan
 
 echo "== python bytecode check =="
-python -m compileall -q spec_viterbi_tpu tests bench.py __graft_entry__.py
+python -m compileall -q spec_viterbi_tpu tests scripts bench.py __graft_entry__.py
 
 echo "== tests =="
 python -m pytest tests/ -q "$@"
