@@ -198,3 +198,38 @@ def test_init_distributed_single_process(monkeypatch):
     assert init_distributed() is False
     info = process_info()
     assert info["process_count"] == 1 and info["global_devices"] == 8
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_hmm_time_parallel_band_closure(seed):
+    """Random structured operators (whatever diagonals/rows/cols/residual
+    the decomposition finds) through BOTH time-parallel compose schedules:
+    scores within the ±1.0 contract, paths exact — the band-closure
+    generalization stressed beyond hand-built banded models."""
+    from spec_viterbi_tpu.ops.structured import StructuredOperator
+    from spec_viterbi_tpu.ops.time_parallel import (
+        TimeParallelDecoder,
+        time_parallel_supported,
+    )
+
+    rng = np.random.default_rng(7000 + seed)
+    states = int(rng.integers(4, 120))
+    emit = int(rng.integers(2, 12))
+    deg = int(rng.integers(1, min(5, states) + 1))
+    hmm = _random_hmm(rng, states, emit, deg, zero_frac=0.1 * (seed % 3))
+    sop = StructuredOperator.from_hmm(hmm)
+    k = 4
+    if not time_parallel_supported(sop, k):
+        pytest.skip(f"band too wide at k={k} (seed {seed})")
+    em = hmm.emission_matrix(pad_to=sop.n)
+    pi = hmm.start_vector(pad_to=sop.n)
+    t = int(rng.integers(2, 40))
+    seq = rng.integers(0, emit, size=t).astype(np.int32)
+    want = viterbi_scores_oracle(hmm, seq)
+    _, opath = viterbi_path_oracle(hmm, seq)
+    for compose in ("scan", "tree"):
+        tp = TimeParallelDecoder(sop, em, pi, k=k, compose=compose)
+        got = tp.decode(seq)
+        assert almost_equal_vec(got, want), (seed, compose)
+        _, path = tp.decode_path(seq)
+        assert np.array_equal(path, opath), (seed, compose)
