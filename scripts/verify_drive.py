@@ -156,8 +156,13 @@ def main() -> int:
     auto = svt.decode_auto(hmm, [s[:200] for s in seqs[:2]], verbose=True)
     for g, s in zip(auto, seqs):
         assert svt.almost_equal_vec(g, svt.viterbi_scores_oracle(hmm, s[:200]))
+    # Single long sequence defaults to the serial fused decode (the round-4
+    # go/no-go measured time-parallel at 0.29–0.95× of serial); the
+    # time-parallel route stays plannable behind the explicit flag.
     wl = svt.Workload.from_seqs([seqs[0]])
-    assert svt.plan_route(hmm, wl).kind == "time_parallel"
+    assert svt.plan_route(hmm, wl).kind == "batch"
+    wl_tp = svt.Workload.from_seqs([seqs[0]], prefer_time_parallel=True)
+    assert svt.plan_route(hmm, wl_tp).kind == "time_parallel"
     print("scheduler OK", flush=True)
 
     print("VERIFY DRIVE OK on", jax.default_backend())

@@ -27,10 +27,15 @@ this module makes it one (VERDICT r3 #5 / next #5).
   2 ppermutes per chunk); coupled operators provably need per-step
   exchange and keep the 64 B/step halo TP
   (:mod:`~spec_viterbi_tpu.parallel.structured_tp`).
-- **Time parallelism is the idle-lane tool** for a long SINGLE sequence:
+- **Time parallelism is opt-in only.** The round-4 hardware go/no-go
+  (BASELINE.md, ``bench_out/time_parallel_go_no_go.json``) measured
   lanes-as-time-blocks composition
-  (:class:`~spec_viterbi_tpu.ops.time_parallel.TimeParallelDecoder`)
-  when the operator's composed band stays narrow.
+  (:class:`~spec_viterbi_tpu.ops.time_parallel.TimeParallelDecoder`) at
+  0.29–0.95× of the serial one-lane fused decode at every k — the fused
+  kernel's serial step is already near the VMEM-bandwidth floor. A long
+  single sequence therefore routes to the batched decoder; the
+  time-parallel route remains exact and executable behind
+  ``Workload.prefer_time_parallel`` / ``cli decode --time-parallel``.
 - **Streaming engine by eligibility**: fused Pallas engine for
   fused-eligible operators, the XLA fallback for everything else — the
   same protocol either way.
@@ -68,6 +73,10 @@ class Workload:
     streaming: bool = False  # unbounded/incremental input?
     optimize: str = "throughput"  # or "latency"
     hbm_bytes: int = HBM_BYTES_DEFAULT  # per-chip budget
+    # Explicit opt-in: the measured round-4 go/no-go is negative
+    # (time-parallel never beat the serial fused decode on hardware), so
+    # the planner only routes here when the caller asks for it.
+    prefer_time_parallel: bool = False
 
     @classmethod
     def from_seqs(cls, seqs, **kw) -> "Workload":
@@ -177,17 +186,26 @@ def plan_route(
             f"(n={sop.n} % shards={state_shards}); falling back",
         )
 
-    # Time parallelism: one long sequence leaves ≥127/128 lanes idle.
+    # Time parallelism: one long sequence leaves ≥127/128 lanes idle, but
+    # the round-4 hardware go/no-go (bench_out/time_parallel_go_no_go.json,
+    # BASELINE.md) measured compose+fold at 0.29–0.95× of the serial
+    # one-lane fused decode at every k — the serial step is already near
+    # the VMEM-bandwidth floor, so the compose's R1·k slot work never pays
+    # it back. The route stays implemented (and exact), but the scheduler
+    # only picks it on explicit request.
     k = TIME_PARALLEL_K_DEFAULT
     if (
-        workload.n_seqs == 1
+        workload.prefer_time_parallel
+        and workload.n_seqs == 1
         and workload.max_len >= TIME_PARALLEL_MIN_T
         and time_parallel_supported(sop, k)
     ):
         return Route(
             "time_parallel",
-            f"single {workload.max_len}-symbol sequence: lanes-as-time-"
-            f"blocks compose+fold (k={k}) beats a one-lane serial decode",
+            f"single {workload.max_len}-symbol sequence, time parallelism "
+            f"requested: lanes-as-time-blocks compose+fold (k={k}) — note "
+            "the measured go/no-go is NEGATIVE vs one-lane serial "
+            "(BASELINE.md round 4)",
             {"k": k},
         )
 

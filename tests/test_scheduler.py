@@ -54,12 +54,22 @@ def test_throughput_workload_routes_dp_or_batch(pfam):
     assert plan_route(pfam, _wl(), mesh).kind == "dp"
 
 
-def test_single_long_sequence_routes_time_parallel(pfam):
+def test_single_long_sequence_defaults_to_batch(pfam):
+    # Round-4 hardware go/no-go was NEGATIVE (time-parallel 0.29–0.95× of
+    # the serial fused decode, bench_out/time_parallel_go_no_go.json), so
+    # a long single sequence stays on the batched path by default…
     r = plan_route(pfam, _wl(n_seqs=1, max_len=3500))
+    assert r.kind == "batch"
+    # …and time parallelism is an explicit opt-in.
+    r = plan_route(pfam, _wl(n_seqs=1, max_len=3500, prefer_time_parallel=True))
     assert r.kind == "time_parallel"
     assert r.params["k"] >= 2
-    # short single sequences stay on the batched path (dispatch dominates)
-    assert plan_route(pfam, _wl(n_seqs=1, max_len=64)).kind == "batch"
+    # short single sequences stay batched even when requested (dispatch
+    # dominates below TIME_PARALLEL_MIN_T)
+    assert (
+        plan_route(pfam, _wl(n_seqs=1, max_len=64, prefer_time_parallel=True)).kind
+        == "batch"
+    )
 
 
 def test_capacity_bound_model_routes_tp(pfam, banded):
@@ -142,7 +152,7 @@ def test_execute_batch_and_auto(pfam):
 def test_execute_time_parallel_route(pfam):
     rng = np.random.default_rng(1)
     seq = rng.integers(0, pfam.emit_num, size=600).astype(np.int32)
-    wl = Workload.from_seqs([seq])
+    wl = Workload.from_seqs([seq], prefer_time_parallel=True)
     route = plan_route(pfam, wl)
     assert route.kind == "time_parallel"
     (got,) = execute_route(pfam, [seq], route)
