@@ -11,7 +11,6 @@ for a judge.
 import glob
 import os
 
-import pytest
 
 from spec_viterbi_tpu.bench.bench_ragged import HEADERS as RAGGED_HEADERS
 from spec_viterbi_tpu.bench.bench_viterbi import nonspec_headers, spec_headers
@@ -33,12 +32,6 @@ def test_nonspec_artifacts_match_generator():
         assert _header(f) == nonspec_headers(), os.path.basename(f)
 
 
-@pytest.mark.xfail(
-    reason="round-2 artifacts still committed; the round-4 TPU queue "
-    "(scripts/r4_tpu_queue.sh ragged/spec stages) regenerates them — "
-    "REMOVE this mark in the same commit as the fresh artifacts",
-    strict=False,
-)
 def test_spec_artifacts_match_generator():
     files = sorted(glob.glob(os.path.join(BENCH_OUT, "Viterbi_spec_bench_*.dat")))
     assert len(files) == 4
@@ -46,12 +39,6 @@ def test_spec_artifacts_match_generator():
         assert _header(f) == spec_headers(), os.path.basename(f)
 
 
-@pytest.mark.xfail(
-    reason="round-2 artifacts still committed; the round-4 TPU queue "
-    "(scripts/r4_tpu_queue.sh ragged/spec stages) regenerates them — "
-    "REMOVE this mark in the same commit as the fresh artifacts",
-    strict=False,
-)
 def test_ragged_artifact_matches_generator():
     f = os.path.join(BENCH_OUT, "Viterbi_ragged_bench.dat")
     assert _header(f) == list(RAGGED_HEADERS)
