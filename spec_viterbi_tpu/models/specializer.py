@@ -29,7 +29,7 @@ reference's tail loop (``GraphBLAS_spec_impl.cpp:64-89``).
 
 from __future__ import annotations
 
-import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -182,6 +182,22 @@ class SpecializedViterbi:
         np_states = pad_to_lane(states_num)
         return ((emit_num + 1) ** level) * np_states * np_states * 4
 
+    @staticmethod
+    def predicted_dense_decode_slowdown(states_num: int, level: int) -> float:
+        """Predicted batched-decode slowdown of the dense level-L gather
+        path vs :class:`StructuredSpecializedViterbi` at the same level.
+
+        Both paths are HBM-bound per chunk step: the dense path streams
+        each lane's ``[Np, Np]`` tuple operator, the structured path
+        streams ``6·level + 2`` component ``[Np]`` vectors per lane
+        (measured slot growth, BASELINE.md). The byte ratio
+        ``Np / (6·level + 2)`` is the slowdown model; the round-4 ``.dat``
+        measured 9.7 s vs 30 ms at 902 states / level 2 (~300×, model
+        predicts ~73× — conservative)."""
+        if level <= 1:
+            return 1.0
+        return pad_to_lane(states_num) / (6 * level + 2)
+
     def spec_with(self, hmm: HMM) -> None:
         """(Re)build all specialized operators for ``hmm``.
 
@@ -193,6 +209,27 @@ class SpecializedViterbi:
         self.start_ops = self.ops = self.tuple_ops = None
         self.states_num = hmm.states_num
         self.emit_num = hmm.emit_num
+
+        # Footgun guard (VERDICT r4 #5): at level > 1 on a big model the
+        # dense per-lane [B, Np, Np] tuple gather is HBM-pathological —
+        # the round-4 .dat measured 9.7 s vs 30 ms (300×) against the
+        # structured specializer at 902 states. Warn when the bandwidth
+        # model predicts ≥10×; this class stays available as the
+        # cross-validating second implementation.
+        slowdown = self.predicted_dense_decode_slowdown(
+            hmm.states_num, self.level
+        )
+        if slowdown >= 10.0:
+            warnings.warn(
+                f"dense level-{self.level} specialization at "
+                f"{hmm.states_num} states: batched decode streams a dense "
+                f"[Np, Np] operator per lane-step — predicted ≥{slowdown:.0f}× "
+                "slower than StructuredSpecializedViterbi at the same level "
+                "(measured 300× at 902 states, BASELINE.md). Use "
+                "spec_viterbi_tpu.StructuredSpecializedViterbi unless you "
+                "need the dense path for cross-validation.",
+                stacklevel=2,
+            )
 
         np_states = pad_to_lane(hmm.states_num) if self.pad else hmm.states_num
 

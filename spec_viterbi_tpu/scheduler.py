@@ -194,33 +194,45 @@ def plan_route(
     # it back. The route stays implemented (and exact), but the scheduler
     # only picks it on explicit request.
     k = TIME_PARALLEL_K_DEFAULT
-    if (
-        workload.prefer_time_parallel
-        and workload.n_seqs == 1
-        and workload.max_len >= TIME_PARALLEL_MIN_T
-        and time_parallel_supported(sop, k)
-    ):
-        return Route(
-            "time_parallel",
-            f"single {workload.max_len}-symbol sequence, time parallelism "
-            f"requested: lanes-as-time-blocks compose+fold (k={k}) — note "
-            "the measured go/no-go is NEGATIVE vs one-lane serial "
-            "(BASELINE.md round 4)",
-            {"k": k},
-        )
+    tp_dropped = ""
+    if workload.prefer_time_parallel:
+        if workload.n_seqs != 1:
+            tp_dropped = (
+                f"; time-parallel request dropped: {workload.n_seqs} "
+                "sequences (lanes are better spent on real batch lanes)"
+            )
+        elif workload.max_len < TIME_PARALLEL_MIN_T:
+            tp_dropped = (
+                f"; time-parallel request dropped: T={workload.max_len} < "
+                f"{TIME_PARALLEL_MIN_T} (dispatch would dominate)"
+            )
+        elif not time_parallel_supported(sop, k):
+            tp_dropped = (
+                "; time-parallel request dropped: operator outside the "
+                f"banded+low-rank closure at k={k}"
+            )
+        else:
+            return Route(
+                "time_parallel",
+                f"single {workload.max_len}-symbol sequence, time "
+                f"parallelism requested: lanes-as-time-blocks compose+fold "
+                f"(k={k}) — note the measured go/no-go is NEGATIVE vs "
+                "one-lane serial (BASELINE.md round 4)",
+                {"k": k},
+            )
 
     if data_shards > 1:
         return Route(
             "dp",
             f"throughput workload ({workload.n_seqs} seqs): data "
             f"parallelism over {data_shards} devices, zero per-step "
-            "collectives",
+            "collectives" + tp_dropped,
             {"shards": data_shards},
         )
     return Route(
         "batch",
         f"single-device batched decode ({workload.n_seqs} seqs); the "
-        "decoder picks fused/structured/dense internally",
+        "decoder picks fused/structured/dense internally" + tp_dropped,
     )
 
 
@@ -359,14 +371,20 @@ def decode_auto(
     paths: bool = False,
     optimize: str = "throughput",
     verbose: bool = False,
+    **workload_kw,
 ):
     """Plan + execute in one call: ``[(scores, path)]`` or ``[scores]``.
 
     The one-stop entry for callers that don't want to know route names
-    (the scheduler's "Done" criterion)."""
+    (the scheduler's "Done" criterion). Extra keyword arguments are
+    forwarded to :meth:`Workload.from_seqs`, so every planner knob —
+    including the ``prefer_time_parallel`` opt-in and ``hbm_bytes`` — is
+    reachable from here."""
     if not seqs:
         return []
-    workload = Workload.from_seqs(seqs, paths=paths, optimize=optimize)
+    workload = Workload.from_seqs(
+        seqs, paths=paths, optimize=optimize, **workload_kw
+    )
     route = plan_route(hmm, workload, mesh)
     route = Route(route.kind, route.reason, {**route.params, "paths": paths})
     if verbose:

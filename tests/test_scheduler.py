@@ -203,3 +203,28 @@ def test_capacity_bound_halo_paths_refused(pfam):
     route_p = Route(route.kind, route.reason, {**route.params, "paths": True})
     with pytest.raises(ValueError, match="capacity-bound"):
         execute_route(pfam, [np.zeros(4, np.int32)], route_p, mesh)
+
+
+def test_dropped_time_parallel_request_is_explained(pfam):
+    """ADVICE r4: an explicit prefer_time_parallel=True that fails a guard
+    must say so in the fallback route's reason instead of silently
+    vanishing."""
+    r = plan_route(pfam, _wl(n_seqs=3, max_len=3500, prefer_time_parallel=True))
+    assert r.kind == "batch"
+    assert "time-parallel request dropped" in r.reason
+    assert "3 sequences" in r.reason
+    r = plan_route(pfam, _wl(n_seqs=1, max_len=64, prefer_time_parallel=True))
+    assert r.kind == "batch"
+    assert "time-parallel request dropped" in r.reason and "T=64" in r.reason
+    # an unrequested plan carries no dropped-request noise
+    assert "dropped" not in plan_route(pfam, _wl(n_seqs=3)).reason
+
+
+def test_decode_auto_forwards_workload_kw(pfam, capsys):
+    """ADVICE r4: the planner opt-ins (prefer_time_parallel et al.) must be
+    reachable from the one-stop decode_auto entry."""
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, pfam.emit_num, size=600).astype(np.int32)
+    got = decode_auto(pfam, [seq], prefer_time_parallel=True, verbose=True)
+    assert "time_parallel" in capsys.readouterr().err
+    assert almost_equal_vec(got[0], viterbi_scores_oracle(pfam, seq))

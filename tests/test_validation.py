@@ -71,3 +71,35 @@ def test_specializers_reject_bad_symbols(hmm):
     spec1.spec_with(hmm)
     with pytest.raises(ValueError, match="out of range"):
         spec1.run_spec(bad)
+
+
+def test_dense_level2_big_model_warns_footgun():
+    """VERDICT r4 #5: instantiating the dense level-L specializer where
+    its batched decode is predicted >=10x slower than the structured
+    specializer must emit a documented warning naming the alternative
+    (the round-4 .dat measured 9.7 s vs 30 ms at 902 states). A
+    small-alphabet 160-state model crosses the threshold (256 padded /
+    14 slots ~ 18x) while keeping the tuple build cheap for CI."""
+    from spec_viterbi_tpu.io.generators import generate_random_hmm
+
+    big = generate_random_hmm(
+        states_num=160, trans_per_state=2, emit_range=2, seed=3
+    )
+    spec = SpecializedViterbi(level=2)
+    with pytest.warns(UserWarning, match="StructuredSpecializedViterbi"):
+        spec.spec_with(big)
+    # the prediction model itself: 1024 padded states / 14 slots ~ 73x
+    assert SpecializedViterbi.predicted_dense_decode_slowdown(902, 2) > 10
+    assert SpecializedViterbi.predicted_dense_decode_slowdown(902, 1) == 1.0
+
+
+def test_dense_spec_small_model_does_not_warn(hmm):
+    """The 102-state fixture stays under the 10x prediction at level 2
+    (128 padded / 14 slots ~ 9.1x) -- no warning noise for the sizes the
+    dense path is actually good at."""
+    import warnings as _w
+
+    spec = SpecializedViterbi(level=2)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        spec.spec_with(hmm)
