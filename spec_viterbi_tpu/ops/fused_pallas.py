@@ -325,7 +325,7 @@ class PathStreamState(NamedTuple):
     chunks: tuple  # tuple of StreamChunk
 
 
-def _run_path_finalize(state: "PathStreamState", extract, last, block):
+def _run_path_finalize(state: "PathStreamState", extract, last, block, fetch=np.asarray):
     """Shared checkpoint-rematerialize finalize protocol (single-chip and
     DP-sharded): ENQUEUE the score extract, the boundary argmin, and every
     reverse path block back-to-back, then drain once — per-block host
@@ -334,6 +334,9 @@ def _run_path_finalize(state: "PathStreamState", extract, last, block):
     zero H2D here.
 
     ``block(ckpt, syms_dev, lengths_dev, boundary) → (piece, boundary)``.
+    ``fetch``: host-transfer hook — ``np.asarray`` single-chip; the
+    DP-sharded stream passes ``fetch_global`` so finalize works when the
+    mesh spans a multi-host process group.
     """
     scores_d = extract(state.carry)
     boundary = last(state.carry)
@@ -346,18 +349,18 @@ def _run_path_finalize(state: "PathStreamState", extract, last, block):
     # SLOWER here — the eager slice/concat dispatches through the tunnel
     # cost more than the per-piece drains they replace: 5.5 s vs 4.7 s
     # finalize at T=100k/33 chunks)
-    first = np.asarray(boundary)[:, : state.b_real]  # states at position 0
+    first = fetch(boundary)[:, : state.b_real]  # states at position 0
     path = np.concatenate(
         [
             first,
             *[
-                np.asarray(p)[:t_c, : state.b_real].astype(np.int32)
+                fetch(p)[:t_c, : state.b_real].astype(np.int32)
                 for p, t_c in reversed(pieces)
             ],
         ],
         axis=0,
     )  # [T_total, B]
-    return np.asarray(scores_d)[: state.b_real], path.T
+    return fetch(scores_d)[: state.b_real], path.T
 
 
 class _StreamAPI:

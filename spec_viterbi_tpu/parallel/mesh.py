@@ -46,6 +46,24 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, STATE_AXIS, TIME_AXIS))
 
 
+def fetch_global(arr) -> np.ndarray:
+    """Host-fetch a possibly process-spanning global ``jax.Array``.
+
+    ``np.asarray`` raises on arrays with non-addressable shards (a mesh
+    spanning a multi-host process group), which is exactly what the DP/TP
+    entry points produce on a pod. Fully-addressable arrays (single
+    process, or replicated outputs) take the zero-copy path; otherwise
+    every process materializes the FULL value via an allgather of the
+    addressable shards — the SPMD convention: all hosts see the same
+    result, mirroring what ``np.asarray`` gives on one host.
+    """
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def batch_sharding(mesh: Mesh, batch_dim: int = 0) -> NamedSharding:
     """Sharding that splits a batch dimension over the ``data`` axis."""
     spec = [None, None]

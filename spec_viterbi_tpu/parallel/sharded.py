@@ -34,7 +34,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from spec_viterbi_tpu.hmm import HMM, pad_to_lane
 from spec_viterbi_tpu.models.decoder import DeviceHMM
 from spec_viterbi_tpu.ops import dispatch
-from spec_viterbi_tpu.parallel.mesh import DATA_AXIS, STATE_AXIS, TIME_AXIS
+from spec_viterbi_tpu.parallel.mesh import (
+    DATA_AXIS,
+    STATE_AXIS,
+    TIME_AXIS,
+    fetch_global,
+)
 from spec_viterbi_tpu.utils.batching import pad_batch
 
 
@@ -172,7 +177,7 @@ def decode_batch_dp_fused(fd, seqs: list[np.ndarray], mesh: Mesh) -> list[np.nda
         return []
     seqs_t, lengths_d = _fused_dp_stage(fd, seqs, mesh)
     scores_fn, _ = make_fused_dp(fd, mesh)
-    v = np.asarray(scores_fn(seqs_t, lengths_d))  # [Np, B]
+    v = fetch_global(scores_fn(seqs_t, lengths_d))  # [Np, B]
     return [v[: fd.states_num, i] for i in range(len(seqs))]
 
 
@@ -189,8 +194,8 @@ def decode_path_batch_dp_fused(
     seqs_t, lengths_d = _fused_dp_stage(fd, seqs, mesh)
     _, path_fn = make_fused_dp(fd, mesh)
     scores, paths = path_fn(seqs_t, lengths_d)
-    scores = np.asarray(scores)  # [Np, B]
-    paths = np.asarray(paths)  # [T, B]
+    scores = fetch_global(scores)  # [Np, B]
+    paths = fetch_global(paths)  # [T, B]
     return [
         (scores[: fd.states_num, i], paths[: len(s), i].astype(np.int32))
         for i, s in enumerate(seqs)
@@ -294,7 +299,7 @@ class StreamDP:
         )
 
     def scores(self, state) -> np.ndarray:
-        return np.asarray(self._extract_fn(state.carry))[: state.b_real]
+        return fetch_global(self._extract_fn(state.carry))[: state.b_real]
 
     # ---- exact-path streaming ----------------------------------------
 
@@ -334,7 +339,7 @@ class StreamDP:
         )
 
     def path_scores(self, state) -> np.ndarray:
-        return np.asarray(self._extract_fn(state.carry))[: state.b_real]
+        return fetch_global(self._extract_fn(state.carry))[: state.b_real]
 
     def path_finalize(self, state):
         """→ (scores [B, Np], paths [B, T_total]); state not consumed."""
@@ -345,6 +350,7 @@ class StreamDP:
             self._extract_fn,
             self._last_fn,
             self._path_block_fn,
+            fetch=fetch_global,  # shards span processes on a pod
         )
 
 

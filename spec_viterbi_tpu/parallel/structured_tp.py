@@ -31,7 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spec_viterbi_tpu.hmm import HMM
 from spec_viterbi_tpu.ops.structured import StructuredOperator
@@ -201,19 +201,25 @@ def decode_batch_structured_dp(
     """Data-parallel batched structured decode over the ``data`` axis."""
     if not seqs:
         return []
-    from spec_viterbi_tpu.parallel.mesh import DATA_AXIS
+    from spec_viterbi_tpu.parallel.mesh import DATA_AXIS, fetch_global
 
     sop = StructuredOperator.from_hmm(hmm)
     fn = make_structured_dp_decode(sop, mesh)
     d = mesh.shape[DATA_AXIS]
     batch, lengths = pad_batch(seqs, d * 8, min_t=2)
     n = sop.n
-    v = np.asarray(
+
+    # explicit placement (not jnp.asarray): on a multi-host process group
+    # the inputs must be GLOBAL arrays laid out per the shard_map in_specs
+    def put(a, *spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    v = fetch_global(
         fn(
-            jnp.asarray(hmm.emission_matrix(pad_to=n).T),
-            jnp.asarray(hmm.start_vector(pad_to=n)),
-            jnp.asarray(batch.T.copy()),
-            jnp.asarray(lengths),
+            put(hmm.emission_matrix(pad_to=n).T),
+            put(hmm.start_vector(pad_to=n)),
+            put(batch.T.copy(), None, DATA_AXIS),
+            put(lengths, DATA_AXIS),
         )
     )
     return [v[i, : hmm.states_num] for i in range(len(seqs))]
@@ -227,6 +233,8 @@ def decode_batch_structured_tp(
     """Batched decode with the structured operator sharded over ``state``."""
     if not seqs:
         return []
+    from spec_viterbi_tpu.parallel.mesh import fetch_global
+
     sop = StructuredOperator.from_hmm(hmm)
     fn = make_structured_tp_decode(sop, mesh)
 
@@ -240,16 +248,19 @@ def decode_batch_structured_tp(
     def pad_comp(a):
         return a if a.shape[0] else np.zeros((0, n), np.float32)
 
-    v = np.asarray(
+    def put(a, *spec):  # global placement per the shard_map in_specs
+        return jax.device_put(np.asarray(a), NamedSharding(mesh, P(*spec)))
+
+    v = fetch_global(
         fn(
-            jnp.asarray(pad_comp(sop.diag_vals)),
-            jnp.asarray(pad_comp(sop.row_vals)),
-            jnp.asarray(pad_comp(sop.col_vals)),
-            jnp.asarray(resv),
-            jnp.asarray(em_t),
-            jnp.asarray(pi),
-            jnp.asarray(batch.T.copy()),
-            jnp.asarray(lengths),
+            put(pad_comp(sop.diag_vals), None, STATE_AXIS),
+            put(pad_comp(sop.row_vals), None, STATE_AXIS),
+            put(pad_comp(sop.col_vals), None, STATE_AXIS),
+            put(resv),
+            put(em_t, STATE_AXIS, None),
+            put(pi, STATE_AXIS),
+            put(batch.T.copy()),
+            put(lengths),
         )
     )
     return [v[i, : hmm.states_num] for i in range(len(seqs))]
