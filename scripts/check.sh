@@ -16,5 +16,8 @@ make -C spec_viterbi_tpu/native/src asan
 echo "== python bytecode check =="
 python -m compileall -q spec_viterbi_tpu tests scripts bench.py __graft_entry__.py
 
+echo "== python lint (unused imports etc.; run_clang_tidy.sh analog) =="
+python scripts/lint.py
+
 echo "== tests =="
 python -m pytest tests/ -q "$@"

@@ -46,18 +46,20 @@ def make_variant_kernel(sop, unroll, *, no_cols=False, no_mxu=False,
         def _init():
             o_ref[:] = v0_ref[:]
 
-        e_pad = em_ref.shape[1]
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, fp.BB), 0)
-        em_fixed = em_ref[:, :1] if no_mxu else None
+        rows = em_ref.shape[1]  # [Np, 2·e_pad] bf16 [hi | lo] split
+        e_pad = rows // 2
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, fp.BB), 0)
+        sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
+        em_fixed = em_ref[:, :1].astype(jnp.float32) if no_mxu else None
 
         for u in range(unroll):
             if no_mxu:
                 em_sel = em_fixed
             else:
-                oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)
-                em_sel = jnp.dot(em_ref[:], oh_u,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                oh_u = (sym_iota == seq_ref[u]).astype(jnp.bfloat16)
+                em_sel = jnp.dot(
+                    em_ref[:], oh_u, preferred_element_type=jnp.float32
+                )
             v = o_ref[:]
             bulk = []
             for k, d in enumerate(diag_offsets):
@@ -91,9 +93,10 @@ def make_variant_kernel(sop, unroll, *, no_cols=False, no_mxu=False,
 def time_variant(fd, name, **flags):
     unroll = flags.pop("unroll", 2)
     orig = fp._make_unrolled_kernel
-    fp._make_unrolled_kernel = lambda sop, masked, u, t0: make_variant_kernel(
-        sop, u, **flags
+    fp._make_unrolled_kernel = lambda sop, masked, u, t0, exact_em=False, col_plan=None: (
+        make_variant_kernel(sop, u, **flags)
     )
+    fd._col_plan = None  # variants keep the generic per-col reduces
     fd.unroll = unroll
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     try:
@@ -159,14 +162,16 @@ def make_shortchain_kernel(sop, unroll):
         def _init():
             o_ref[:] = v0_ref[:]
 
-        e_pad = em_ref.shape[1]
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, fp.BB), 0)
+        rows = em_ref.shape[1]  # [Np, 2·e_pad] bf16 [hi | lo] split
+        e_pad = rows // 2
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, fp.BB), 0)
+        sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
 
         for u in range(unroll):
-            oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)
-            em_sel = jnp.dot(em_ref[:], oh_u,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+            oh_u = (sym_iota == seq_ref[u]).astype(jnp.bfloat16)
+            em_sel = jnp.dot(
+                em_ref[:], oh_u, preferred_element_type=jnp.float32
+            )
             # off-chain operator+emission folds
             A = [em_sel + dv_ref[:, k : k + 1] for k in range(len(diag_offsets))]
             C = [em_sel + rv_ref[:, k : k + 1] for k in range(len(row_idx))]
@@ -199,7 +204,8 @@ def run_shortchain():
         sop, hmm.emission_matrix(pad_to=sop.n), hmm.start_vector(pad_to=sop.n)
     )
     orig = fp._make_unrolled_kernel
-    fp._make_unrolled_kernel = lambda sop, masked, u, t0: make_shortchain_kernel(sop, u)
+    fp._make_unrolled_kernel = lambda sop, masked, u, t0, exact_em=False, col_plan=None: make_shortchain_kernel(sop, u)
+    fd._col_plan = None
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     rng = np.random.default_rng(0)
     reps = [

@@ -31,9 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import spec_viterbi_tpu as svt
 from spec_viterbi_tpu.ops import fused_pallas as fp
-from spec_viterbi_tpu.ops.structured import StructuredOperator
 
 N = 2432
 BB = fp.BB

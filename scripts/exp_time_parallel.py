@@ -53,8 +53,7 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
+    
     from spec_viterbi_tpu.hmm import almost_equal_vec
     from spec_viterbi_tpu.io import read_emit_seq, read_hmm
     from spec_viterbi_tpu.models.oracle import (

@@ -25,7 +25,7 @@ import numpy as np
 from spec_viterbi_tpu.hmm import HMM, pad_to_lane, validate_obs_seq
 from spec_viterbi_tpu.ops import dispatch
 from spec_viterbi_tpu.ops import fused_pallas
-from spec_viterbi_tpu.utils.batching import pad_batch
+from spec_viterbi_tpu.utils.batching import bucket_plan, pad_batch
 from spec_viterbi_tpu.ops.structured import (
     StructuredOperator,
     structured_mv,
@@ -358,18 +358,19 @@ class ViterbiDecoder:
             self._stream_engine_xla = cached
         return cached
 
-    def prepare_batch(self, seqs: list[np.ndarray]):
+    def prepare_batch(self, seqs: list[np.ndarray], t_pad: int | None = None):
         """Pad and transfer a batch once; returns a device-side handle.
 
         Splitting prepare from run lets callers amortize host↔device
         transfer across repeated decodes (the benchmark's timed unit is
         then pure device compute, mirroring the reference whose sequence
-        symbols live in host RAM outside the timed loop).
+        symbols live in host RAM outside the timed loop). ``t_pad`` forces
+        a fixed (bucket-quantized) time length for compiled-shape reuse.
         """
         if self._fused is not None:
-            return self._fused.prepare(seqs)
+            return self._fused.prepare(seqs, t_pad=t_pad)
         seqs = [validate_obs_seq(s, self.hmm.emit_num) for s in seqs]
-        batch, lengths = pad_batch(seqs, SUBLANE)
+        batch, lengths = pad_batch(seqs, SUBLANE, t_pad=t_pad)
         if self.mode == "structured":
             return jnp.asarray(batch.T.copy()), jnp.asarray(lengths)
         return jnp.asarray(batch), jnp.asarray(lengths)
@@ -387,17 +388,44 @@ class ViterbiDecoder:
             self.dev.a, self.dev.pi, self.dev.emissions, seqs_d, lengths_d
         )
 
-    def decode_batch(self, seqs: list[np.ndarray]) -> list[np.ndarray]:
+    def decode_batch(
+        self, seqs: list[np.ndarray], bucketed: bool = True
+    ) -> list[np.ndarray]:
         """Decode a set of sequences as one batched device program.
 
         Pads the batch (and sequences to the max length); per-sequence
         masking freezes finished lanes so results are identical to
-        one-at-a-time decoding.
+        one-at-a-time decoding. Ragged batches are length-bucketed on
+        EVERY mode (``bucket_plan``; VERDICT r4 #4): dense/structured-XLA
+        decodes otherwise pad every lane to the global max — up to ~7×
+        padded-step waste on the covid-19 length profile — while bucketed
+        calls run each group at its own quantized max, enqueued
+        back-to-back with one device concat → one host transfer.
         """
         if not seqs:
             return []
         if self._fused is not None:
             # fused path slices padding off on device (smaller D2H)
-            return self._fused.decode_batch(seqs)
-        v = np.asarray(self.run_batch(self.prepare_batch(seqs)))
-        return [v[i, : self.dev.states_num] for i in range(len(seqs))]
+            return self._fused.decode_batch(seqs, bucketed=bucketed)
+        plan = (
+            bucket_plan([len(s) for s in seqs], lane_block=SUBLANE)
+            if bucketed
+            else None
+        )
+        if plan is None:
+            v = np.asarray(self.run_batch(self.prepare_batch(seqs)))
+            return [v[i, : self.dev.states_num] for i in range(len(seqs))]
+        outs = []
+        for idx, t_q in plan:  # enqueue every bucket, drain once below
+            out = self.run_batch(
+                self.prepare_batch([seqs[i] for i in idx], t_pad=t_q)
+            )
+            outs.append(out[: len(idx)])  # drop padding lanes on device
+        v = np.asarray(jnp.concatenate(outs, axis=0))
+        result: list[np.ndarray | None] = [None] * len(seqs)
+        row = 0
+        for idx, _ in plan:
+            for i in idx:
+                result[i] = v[row, : self.dev.states_num]
+                row += 1
+        return result

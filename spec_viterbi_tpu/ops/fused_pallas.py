@@ -20,9 +20,31 @@ resident in VMEM:
   mapped back to `+inf` on extraction — exactly the trick the reference's
   dense backend uses with `FLT_MAX` (``cuASR_helper.cu:147-165``).
 
-Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + one
-[N,32]×[32,B] MXU matmul — for the Pfam corpus (D=1, R=1, C=2) that is
-~600× less arithmetic than the dense N²·B step.
+MXU precision (the round-5 roofline finding, ``bench_out/roofline.json``):
+a ``precision=HIGHEST`` f32 dot costs ~9.7 µs marginal at the production
+shape — the single dominant substep term — because Mosaic lowers it as a
+6-pass bf16 decomposition. A one-hot selection's PRODUCTS are exact in
+any precision (0/1 multipliers, exactly one nonzero accumuland per
+column); only the rounding of the emission table itself matters. The
+scores kernel therefore selects from an exact bf16 **hi/lo split** of the
+f32 table (``hi = bf16(em)``, ``lo = bf16(em − hi)``), folded into ONE
+bf16 dot: ``[Np, 2e] = [hi | lo]`` against a doubled one-hot selects both
+terms and adds them inside the MXU's f32 accumulator — no separate
+`hi@oh + lo@oh` VPU add pass (measured: the extra [Np, B] add pass alone
+cost ~4 µs/step, eating most of the win). 16-bit mantissa coverage,
+per-step |error| ≤ 2⁻¹⁸·|em| ≈ 1e-4 — corpus-validated within the ±1.0
+contract (``HMM.h:43-49``) at T=7000. PATH-producing flows (the path
+kernel AND the path-stream forward feeds whose checkpoints it re-runs
+from) keep the exact HIGHEST dot: Viterbi DP ties are REAL (equal-cost
+paths through small fixtures flipped under the split in
+``tests/test_bucketing.py``), and the exact-path contract — bit-identical
+to ``viterbi_path_oracle`` — is non-negotiable. Scores-only flows take
+the 2× speedup; paths pay the exact dot, which is noise next to their
+backpointer-bandwidth cost.
+
+Work per step: ~(3D + 2R + 3C + 3·residual + 2)·N·B VPU ops + two
+[N,32]×[32,B] bf16 MXU matmuls — for the Pfam corpus (D=1, R=1, C=2) that
+is ~600× less arithmetic than the dense N²·B step.
 """
 
 from __future__ import annotations
@@ -52,6 +74,60 @@ BIG_THRESHOLD = np.float32(1e29)
 # Fused kernel eligibility: each residual entry costs a masked row update.
 MAX_FUSED_RESIDUAL = 8
 
+# Uniform-column decomposition cap: scalar-row corrections across all cols.
+MAX_COL_EXTRAS = 8
+
+
+def _plan_uniform_cols(sop: StructuredOperator):
+    """Collapse near-uniform dense columns into ONE shared masked reduce.
+
+    Profile-HMM columns are almost constant (the whole corpus: col→0 is
+    exactly 1.0 on every finite entry; col→flush is 1.0 except a single
+    entry), so ``min_j(cv_k[j] + v_j)`` decomposes as
+    ``min(c_k + R, scalar corrections)`` with
+    ``R = min_{j∈shared}(v_j + mask)`` computed ONCE for all columns.
+    This is BIT-exact for the score values: f32 rounding is monotone, so
+    ``round(c + min_j v_j) == min_j round(c + v_j)``, and every row
+    outside the shared support (another column's deviation, or a support
+    difference) contributes through an explicit scalar candidate with its
+    true value — the same multiset of candidates as the generic reduce.
+    Only the SCORES kernel uses this: the path kernel needs the per-col
+    argmin with the oracle's lowest-index tie rule, and a rounded tie
+    ``round(c+v_i) == round(c+v_j)`` with ``v_i ≠ v_j`` would resolve by
+    value instead of by index under the decomposition.
+
+    Returns ``(mask [n, 1] f32, [(target_row, base, [(j, val), …]), …])``
+    or None (no cols / too many corrections → keep the generic reduces).
+    """
+    if not sop.col_idx:
+        return None
+    cols = []
+    for k in range(len(sop.col_idx)):
+        col = sop.col_vals[k]
+        fin = np.nonzero(np.isfinite(col))[0]
+        if fin.size == 0:
+            return None
+        vals, counts = np.unique(col[fin], return_counts=True)
+        base = float(vals[np.argmax(counts)])
+        dev = {int(j): float(col[j]) for j in fin if col[j] != base}
+        cols.append((set(fin.tolist()), base, dev, int(sop.col_idx[k])))
+    all_dev: set[int] = set()
+    for _, _, dev, _ in cols:
+        all_dev |= set(dev)
+    shared = set.intersection(*(s for s, *_ in cols)) - all_dev
+    entries = []
+    extras_total = 0
+    for support, base, dev, target in cols:
+        extras = sorted(dev.items())
+        extras += [(j, base) for j in sorted(support - shared - set(dev))]
+        extras_total += len(extras)
+        entries.append((target, base, extras))
+    if extras_total > MAX_COL_EXTRAS:
+        return None
+    mask = np.full((sop.n, 1), np.inf, np.float32)
+    mask[sorted(shared), 0] = 0.0
+    return mask, entries
+
 
 def fused_eligible(sop: StructuredOperator) -> bool:
     return (
@@ -60,14 +136,28 @@ def fused_eligible(sop: StructuredOperator) -> bool:
     )
 
 
-def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0: int):
+def _make_unrolled_kernel(
+    sop: StructuredOperator,
+    masked: bool,
+    unroll: int,
+    t0: int,
+    exact_em: bool = False,
+    col_plan=None,
+):
     """Unrolled kernel: ``unroll`` recurrence steps per grid iteration.
 
     The observation block is the raw int32 symbol stream ([unroll, 1, B]
     per grid step); one-hots build in-kernel and the MXU selects emissions
     per substep. Grid overhead and the symbol DMA amortize by ``unroll``.
     ``t0`` is the static global step offset (the tail call starts past the
-    unrolled main body).
+    unrolled main body). ``exact_em``: take the [Np, e_pad] f32 table and
+    a precision=HIGHEST dot instead of the bf16 hi/lo split — required
+    when this kernel advances carries that a PATH kernel will re-run from
+    (see the module docstring's precision note). ``col_plan``: the
+    uniform-column decomposition from :func:`_plan_uniform_cols`'s
+    entries — the caller then supplies the shared [n, 1] reduce mask AS
+    the ``cv`` input (one masked reduce replaces every per-col reduce,
+    bit-exactly; measured 2.5 µs/step per avoided reduce pass).
     """
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
@@ -88,18 +178,33 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
 
         # one-hots build in-kernel from the raw int32 symbols (HBM carries
         # 4 bytes/step/lane, not a 32× f32 one-hot tensor), then the MXU
-        # does the emission selection
-        e_pad = em_ref.shape[1]
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, BB), 0)
+        # does the emission selection. em_ref is the [Np, 2·e_pad] bf16
+        # [hi | lo] split of the f32 table: a DOUBLED one-hot (rows o and
+        # o+e_pad) makes one bf16 dot select hi and lo and sum them inside
+        # the MXU's f32 accumulator — 16-bit mantissa reconstruction at
+        # ~1/3 the cost of one precision=HIGHEST dot and zero extra VPU
+        # passes (module docstring); exact_em flows get the [Np, e_pad]
+        # f32 table + HIGHEST instead
+        e_pad = em_ref.shape[1] if exact_em else em_ref.shape[1] // 2
+        rows = em_ref.shape[1]
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, BB), 0)
+        if not exact_em:  # fold rows o and o + e_pad onto the same symbol
+            sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
 
         for u in range(unroll):
-            oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)  # [e_pad, B]
-            em_sel = jnp.dot(
-                em_ref[:],
-                oh_u,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [Np, B]
+            if exact_em:
+                oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)
+                em_sel = jnp.dot(
+                    em_ref[:],
+                    oh_u,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [Np, B]
+            else:
+                oh_u = (sym_iota == seq_ref[u]).astype(jnp.bfloat16)
+                em_sel = jnp.dot(
+                    em_ref[:], oh_u, preferred_element_type=jnp.float32
+                )  # [Np, B]
             v = o_ref[:]
             bulk = [
                 # d % n: pltpu.roll requires a non-negative shift; the cyclic
@@ -124,9 +229,18 @@ def _make_unrolled_kernel(sop: StructuredOperator, masked: bool, unroll: int, t0
             o_ref[:] = v_new
 
             specials: dict[int, list] = {}
-            for k, c in enumerate(col_idx):
-                cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)
-                specials.setdefault(c, []).append(cu)
+            if col_plan is not None:
+                # shared masked reduce; per-col base shift + scalar fixes
+                r_min = jnp.min(cv_ref[:, 0:1] + v, axis=0, keepdims=True)
+                for target, base, extras in col_plan:
+                    cand = base + r_min
+                    for j, val in extras:
+                        cand = jnp.minimum(cand, val + v[j : j + 1, :])
+                    specials.setdefault(target, []).append(cand)
+            else:
+                for k, c in enumerate(col_idx):
+                    cu = jnp.min(cv_ref[:, k : k + 1] + v, axis=0, keepdims=True)
+                    specials.setdefault(c, []).append(cu)
             for s, d, k in residual:
                 specials.setdefault(d, []).append(resv_ref[0, k] + v[s : s + 1, :])
             for row, cands in specials.items():
@@ -201,6 +315,10 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
             src = jnp.full(v.shape, 2**30, jnp.int32)
 
+        # exact HIGHEST selection (NOT the scores kernel's bf16 split):
+        # equal-cost Viterbi ties are real, and the tie-break contract —
+        # paths bit-identical to viterbi_path_oracle — requires carries
+        # that accumulate exactly like the oracle's
         e_pad = em_ref.shape[1]
         sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, BB), 0)
         oh = (sym_iota == seq_ref[0]).astype(jnp.float32)  # [e_pad, B]
@@ -246,6 +364,14 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             src_ref[0, row : row + 1, :] = ps.astype(jnp.int16)
 
     return kernel
+
+
+def _split_em_cat(em_pad: np.ndarray) -> np.ndarray:
+    """[Np, e] f32 → [Np, 2e] bf16 ``[hi | lo]`` with hi + lo == em to 16
+    mantissa bits (the scores kernel's exact-split emission table)."""
+    em_hi = em_pad.astype(jnp.bfloat16)
+    em_lo = (em_pad - np.asarray(em_hi, np.float32)).astype(jnp.bfloat16)
+    return np.concatenate([np.asarray(em_hi), np.asarray(em_lo)], axis=1)
 
 
 def _quantize_total(n: int) -> int:
@@ -492,6 +618,14 @@ class _StreamAPI:
     def _check_path_stream(self) -> None:
         """Engine veto hook for path streaming (pointer-dtype limits)."""
 
+    @property
+    def _feed_path_fn(self):
+        """Forward feed used by PATH streaming. Engines whose path kernel
+        accumulates differently from the scores kernel (the fused engine's
+        exact-vs-split emission dots) override via ``_jit_feed_path`` so
+        checkpoints match the finalize re-runs bit-for-bit."""
+        return getattr(self, "_jit_feed_path", None) or self._jit_feed
+
     def stream_begin_path(self, first_symbols: np.ndarray) -> "PathStreamState":
         """[B] first symbols → path-streaming state."""
         self._check_path_stream()
@@ -531,7 +665,7 @@ class _StreamAPI:
             )
         syms_d, lengths_d = self._stage_quantized(chunk, t_c, valid=valid)
         return PathStreamState(
-            self._jit_feed(state.carry, syms_d, lengths_d),
+            self._feed_path_fn(state.carry, syms_d, lengths_d),
             state.b_real,
             state.checkpoints + (state.carry,),
             state.chunks + (StreamChunk(syms_d, lengths_d, t_c),),
@@ -664,7 +798,16 @@ class FusedStructuredDecoder(_StreamAPI):
         self.e_pad = max(E_PAD, ((self.emit_num + 31) // 32) * 32)
         em_pad = np.full((n, self.e_pad), BIG, dtype=MOD_PROB_DTYPE)
         em_pad[:, : self.emit_num] = np.minimum(emissions.T, BIG)
-        self.em_clamped = jnp.asarray(em_pad)  # [Np, e_pad]
+        self.em_clamped = jnp.asarray(em_pad)  # [Np, e_pad] (path kernel, v0)
+        # exact bf16 [hi | lo] split for the scores kernel's emission dot:
+        # hi + lo reconstructs em_pad to 16 mantissa bits (BIG survives
+        # the split ≥ BIG_THRESHOLD); see the module docstring
+        self.em_split = jnp.asarray(_split_em_cat(em_pad))  # [Np, 2·e_pad]
+        # uniform-column decomposition (scores kernel only; bit-exact):
+        # the shared [n, 1] reduce mask replaces cv as the kernel input
+        plan = _plan_uniform_cols(sop)
+        self._col_plan = plan[1] if plan else None
+        self._cv_mask = jnp.asarray(plan[0]) if plan else None
         self.pi = jnp.asarray(pi)  # [Np]
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
@@ -696,6 +839,12 @@ class FusedStructuredDecoder(_StreamAPI):
         )
         self._jit_begin = jax.jit(self._begin)
         self._jit_feed = jax.jit(self._feed)
+        # PATH-stream feeds accumulate with the exact HIGHEST emission dot
+        # so checkpoints match the path kernel's finalize re-runs (module
+        # docstring precision note)
+        self._jit_feed_path = jax.jit(
+            functools.partial(self._feed, exact_em=True)
+        )
         self._jit_extract = jax.jit(self._extract, static_argnames=("b_real",))
         self._jit_last = jax.jit(self._last_state)
         self._jit_path_block = jax.jit(
@@ -754,11 +903,23 @@ class FusedStructuredDecoder(_StreamAPI):
         out = self._scores_core(seqs_t, lengths, masked).T
         return out if b_real is None else out[:b_real, : self.states_num]
 
-    def _pallas(self, v0, obs, lengths, masked: bool, unroll: int, t0: int):
+    def _pallas(
+        self, v0, obs, lengths, masked: bool, unroll: int, t0: int,
+        exact_em: bool = False,
+    ):
         n = self.n
         steps, _, b = obs.shape
         grid = (b // BB, steps // unroll)
-        kernel = _make_unrolled_kernel(self.sop, masked, unroll, t0)
+        kernel = _make_unrolled_kernel(
+            self.sop, masked, unroll, t0, exact_em, self._col_plan
+        )
+        em_in = self.em_clamped if exact_em else self.em_split
+        em_spec = pl.BlockSpec(
+            (n, self.e_pad if exact_em else 2 * self.e_pad),
+            lambda i, t: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        cv_in = self.cv if self._col_plan is None else self._cv_mask
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -771,12 +932,12 @@ class FusedStructuredDecoder(_StreamAPI):
                     (n, self.rv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (n, self.cv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                    (n, cv_in.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                em_spec,
                 pl.BlockSpec(
                     (unroll, 1, BB),
                     lambda i, t: (t, 0, i),
@@ -794,7 +955,7 @@ class FusedStructuredDecoder(_StreamAPI):
             # every observed shape comfortably legal.
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
-        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
+        )(v0, self.dv, self.rv, cv_in, self.resv, em_in, obs, lengths)
 
     def _path_pallas(self, v0, obs, lengths, masked: bool):
         """One path-kernel invocation: (v0 [Np,B], obs [T,1,B]) →
@@ -1027,7 +1188,7 @@ class FusedStructuredDecoder(_StreamAPI):
         syms = jnp.pad(syms, (0, b_pad - b))
         return self.em_clamped[:, :].take(syms, axis=1) + self.pi[:, None]
 
-    def _feed(self, carry, chunk, lengths):
+    def _feed(self, carry, chunk, lengths, exact_em: bool = False):
         b = carry.shape[1]
         obs = chunk.astype(jnp.int32)[:, None, :]  # [T_q, 1, B]
         t_steps = obs.shape[0]
@@ -1035,10 +1196,18 @@ class FusedStructuredDecoder(_StreamAPI):
         chunks, tail = divmod(t_steps, unroll)
         out = carry
         if chunks:
-            out = self._pallas(out, obs[: chunks * unroll], lengths, True, unroll, 0)
+            out = self._pallas(
+                out, obs[: chunks * unroll], lengths, True, unroll, 0, exact_em
+            )
         if tail:
             out = self._pallas(
-                out, obs[chunks * unroll :], lengths, True, tail, chunks * unroll
+                out,
+                obs[chunks * unroll :],
+                lengths,
+                True,
+                tail,
+                chunks * unroll,
+                exact_em,
             )
         return out
 

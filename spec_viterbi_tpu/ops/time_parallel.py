@@ -61,7 +61,6 @@ suite and the corpus sweep measure this (zero observed).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

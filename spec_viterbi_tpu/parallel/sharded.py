@@ -239,6 +239,14 @@ class StreamDP:
         lane2 = P(None, DATA_AXIS)
         self._begin_fn = smap(fd._begin, (P(DATA_AXIS),), lane2)
         self._feed_fn = smap(fd._feed, (lane2, lane2, lane2), lane2)
+        # path-stream feeds use the exact-emission accumulation so the
+        # checkpoints match the path kernel's finalize re-runs (see the
+        # fused_pallas module docstring's precision note)
+        self._feed_path_fn = smap(
+            functools.partial(fd._feed, exact_em=True),
+            (lane2, lane2, lane2),
+            lane2,
+        )
         self._extract_fn = smap(fd._extract, (lane2,), P(DATA_AXIS, None))
         self._last_fn = smap(fd._last_state, (lane2,), lane2)
         self._path_block_fn = smap(
@@ -332,7 +340,7 @@ class StreamDP:
             )
         chunk_d, lengths_d = self._stage_prepped(chunk, t_c, valid)
         return PathStreamState(
-            self._feed_fn(state.carry, chunk_d, lengths_d),
+            self._feed_path_fn(state.carry, chunk_d, lengths_d),
             state.b_real,
             state.checkpoints + (state.carry,),
             state.chunks + (StreamChunk(chunk_d, lengths_d, t_c),),

@@ -76,12 +76,15 @@ def bucket_plan(
 
 
 def pad_batch(
-    seqs: list[np.ndarray], multiple: int, min_t: int = 1
+    seqs: list[np.ndarray], multiple: int, min_t: int = 1, t_pad: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad to ``(ceil(B/multiple)·multiple, max(min_t, Tmax))``.
 
     Returns ``(batch [B_pad, Tmax] int32, lengths [B_pad] int32)``; padding
     symbols are 0 and padding lanes have length 0 (always masked/discarded).
+    ``t_pad`` forces the time dimension to a fixed (bucket-quantized)
+    length ≥ the batch max, so repeated ragged workloads reuse compiled
+    shapes.
     """
     if any(len(s) == 0 for s in seqs):
         # the recurrence consumes seq[0] before any masking (the reference
@@ -91,6 +94,10 @@ def pad_batch(
     b = len(seqs)
     b_pad = ((b + multiple - 1) // multiple) * multiple
     t_max = max(min_t, max(len(s) for s in seqs))
+    if t_pad is not None:
+        if t_pad < max(len(s) for s in seqs):
+            raise ValueError(f"t_pad={t_pad} below the batch max length")
+        t_max = max(min_t, t_pad)
     batch = np.zeros((b_pad, t_max), dtype=np.int32)
     lengths = np.zeros(b_pad, dtype=np.int32)
     for i, s in enumerate(seqs):

@@ -168,3 +168,40 @@ def test_bucketed_path_decode_matches_oracle():
         osc, op = viterbi_path_oracle(hmm, s)
         assert almost_equal_vec(sc, osc)
         assert np.array_equal(p, op)
+
+
+def test_bucketed_decode_non_fused_modes():
+    """VERDICT r4 #4: dense and structured-XLA batched decodes bucket
+    ragged batches too (lane block = the f32 sublane tile, 8) instead of
+    padding every lane to the global max. Results must match the
+    unbucketed whole-batch call and the oracle."""
+    from spec_viterbi_tpu.io.generators import generate_random_hmm
+    from spec_viterbi_tpu.models.decoder import ViterbiDecoder
+    from spec_viterbi_tpu.utils.batching import bucket_plan as bp
+
+    # irregular random operator: NOT fused-eligible -> the decoder takes
+    # an XLA mode on its own
+    hmm = generate_random_hmm(
+        states_num=24, trans_per_state=3, emit_range=4, seed=5
+    )
+    rng = np.random.default_rng(7)
+    lens = list(rng.integers(2, 12, 26)) + [200, 210, 220, 230]
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=int(t)).astype(np.int32)
+        for t in lens
+    ]
+    assert bp([len(s) for s in seqs], lane_block=8) is not None
+
+    for mode in ("dense", "structured"):
+        dec = ViterbiDecoder(hmm, mode=mode, use_pallas=False)
+        assert dec._fused is None
+        got = dec.decode_batch(seqs)
+        flat = dec.decode_batch(seqs, bucketed=False)
+        for g, f, s in zip(got, flat, seqs):
+            assert np.array_equal(
+                np.nan_to_num(g, posinf=-1), np.nan_to_num(f, posinf=-1)
+            ), (mode, len(s))
+            assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), (
+                mode,
+                len(s),
+            )

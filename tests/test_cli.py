@@ -11,7 +11,7 @@ import re
 
 import numpy as np
 
-from conftest import CHMM_DIR, ESS_DIR, TEST_CHMMS, TEST_SEQS
+from conftest import CHMM_DIR, TEST_CHMMS, TEST_SEQS
 
 from spec_viterbi_tpu import cli
 from spec_viterbi_tpu.io import read_emit_seq, read_hmm

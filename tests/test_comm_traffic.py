@@ -9,8 +9,6 @@ the virtual CPU mesh and assert the bound from the HLO itself.
 import os
 
 import jax.numpy as jnp
-import numpy as np
-import pytest
 
 from conftest import CHMM_DIR
 
@@ -126,6 +124,7 @@ def test_fused_tp_traffic_per_chunk():
         tp._dv_pad,
         tp._em_pad,
         tp._pi_pad,
+        tp._em_split_pad,
         jnp.zeros((3 * chunk + 1, b), jnp.int32),
         jnp.full((b,), 3 * chunk + 1, jnp.int32),
     )

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from conftest import CHMM_DIR, TEST_CHMMS, TEST_SEQS
+from conftest import CHMM_DIR, TEST_CHMMS
 
 from spec_viterbi_tpu.hmm import almost_equal_vec
 from spec_viterbi_tpu.io import read_emit_seq, read_hmm

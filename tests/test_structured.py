@@ -9,7 +9,7 @@ import os
 import numpy as np
 import pytest
 
-from conftest import CHMM_DIR, TEST_CHMMS, TEST_SEQS
+from conftest import CHMM_DIR, TEST_CHMMS
 
 from spec_viterbi_tpu.hmm import HMM, almost_equal_vec, to_modified_prob_np
 from spec_viterbi_tpu.io import read_hmm, read_emit_seq
