@@ -219,6 +219,20 @@ def test_all_paths_agree(model, sequences):
             results["streaming_xla"] = _xla_stream_decode(hmm, seq)
             # time-parallel single-sequence path (lanes = time blocks)
             results["time_parallel"] = _time_parallel_decode(hmm, seq)
+        elif model in ("100.chmm", "500.chmm", "1200.chmm"):
+            # the FULL sweep keeps streaming columns on the anchor models
+            # at FULL length (VERDICT r4 #7): the XLA engine is scan-based
+            # and cheap everywhere; the fused engine's rows run on real
+            # TPU (or under SVT_FULL_STREAMING=1 — interpret mode at
+            # T=3500 would add hours to the CPU run)
+            import jax
+
+            results["streaming_xla"] = _xla_stream_decode(hmm, seq)
+            if jax.default_backend() == "tpu" or os.environ.get(
+                "SVT_FULL_STREAMING"
+            ):
+                results["streaming"] = _stream_decode(hmm, seq)
+                results["streaming_path"] = _stream_path_decode(hmm, seq)
 
         for (na, va), (nb, vb) in itertools.combinations(results.items(), 2):
             assert almost_equal_vec(va, vb), (model, na, nb, len(seq))
