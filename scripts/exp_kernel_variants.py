@@ -93,10 +93,11 @@ def make_variant_kernel(sop, unroll, *, no_cols=False, no_mxu=False,
 def time_variant(fd, name, **flags):
     unroll = flags.pop("unroll", 2)
     orig = fp._make_unrolled_kernel
-    fp._make_unrolled_kernel = lambda sop, masked, u, t0, exact_em=False, col_plan=None: (
+    fp._make_unrolled_kernel = lambda sop, masked, u, t0, *a, **kw: (
         make_variant_kernel(sop, u, **flags)
     )
-    fd._col_plan = None  # variants keep the generic per-col reduces
+    fd._col_plan = None  # variants keep the generic per-col/row forms
+    fd._row_plan = None
     fd.unroll = unroll
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     try:
@@ -204,8 +205,9 @@ def run_shortchain():
         sop, hmm.emission_matrix(pad_to=sop.n), hmm.start_vector(pad_to=sop.n)
     )
     orig = fp._make_unrolled_kernel
-    fp._make_unrolled_kernel = lambda sop, masked, u, t0, exact_em=False, col_plan=None: make_shortchain_kernel(sop, u)
+    fp._make_unrolled_kernel = lambda sop, masked, u, t0, *a, **kw: make_shortchain_kernel(sop, u)
     fd._col_plan = None
+    fd._row_plan = None
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     rng = np.random.default_rng(0)
     reps = [

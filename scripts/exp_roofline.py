@@ -393,7 +393,7 @@ def stage2(slopes: dict):
 # ------------------------------------------------------------- stage 3a
 
 
-def _make_bf16_kernel(sop, masked, unroll, t0, exact_em=False, col_plan=None):
+def _make_bf16_kernel(sop, masked, unroll, t0, *_a, **_kw):
     """The LOSSY all-bf16 arm: bf16 operand refs upcast in-kernel and a
     single hi-only emission dot (8-bit table coverage). Historical record:
     this measured 104 M sym/s but drifted past the +-1.0 contract, which
@@ -469,7 +469,8 @@ def _bf16_decoder(hmm):
     fd.rv = fd.rv.astype(jnp.bfloat16)
     fd.cv = fd.cv.astype(jnp.bfloat16)
     fd.resv = fd.resv.astype(jnp.bfloat16)
-    fd._col_plan = None  # this variant keeps the generic per-col reduces
+    fd._col_plan = None  # variants keep the generic per-col/row forms
+    fd._row_plan = None
     fd._jit_run = jax.jit(fd._run, static_argnames=("masked", "b_real"))
     return fd
 
@@ -581,7 +582,7 @@ def stage3b(measured_f32: float):
 # ------------------------------------------------------------- stage 3c
 
 
-def _make_embatch_kernel(sop, masked, unroll, t0, exact_em=False, col_plan=None):
+def _make_embatch_kernel(sop, masked, unroll, t0, *_a, **_kw):
     """Production kernel with ONE wide emission dot per grid cell:
     [Np, e] x [e, unroll*BB], then 128-aligned lane slices per substep.
     Bit-identical math to the per-substep dots."""
@@ -658,7 +659,8 @@ def stage3c(measured_f32: float):
         fd = fp.FusedStructuredDecoder(
             sop, hmm.emission_matrix(pad_to=sop.n), hmm.start_vector(pad_to=sop.n)
         )
-        fd._col_plan = None  # this variant keeps the generic per-col reduces
+        fd._col_plan = None  # variants keep the generic per-col/row forms
+        fd._row_plan = None
         with _deadline():
             us = _timed_decoder_run(fd, "embatch_mxu")
         # exact-math check: one real corpus sequence vs the oracle
@@ -710,7 +712,8 @@ def smoke():
                 hmm.start_vector(pad_to=sop.n),
                 interpret=True,
             )
-            fd._col_plan = None  # variants keep the generic per-col reduces
+            fd._col_plan = None  # variants keep the generic per-col/row forms
+            fd._row_plan = None
             if name == "bf16":
                 for a in ("dv", "rv", "cv", "resv"):
                     setattr(fd, a, getattr(fd, a).astype(jnp.bfloat16))

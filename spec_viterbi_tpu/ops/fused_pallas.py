@@ -136,6 +136,70 @@ def fused_eligible(sop: StructuredOperator) -> bool:
     )
 
 
+def _plan_uniform_rows(sop: StructuredOperator):
+    """Collapse near-uniform dense ROWS into scalar broadcast candidates.
+
+    The corpus's dense row (state 0 → everything) is constant on 99.9+%
+    of its support, so the bulk candidate ``rv_k + v[s_k]`` (a full-width
+    vector add + min, 2 VPU passes) becomes ``c_k + v[s_k]`` (a [1, B]
+    scalar add + one broadcast min). Exactness bookkeeping — the uniform
+    candidate now reaches rows it should NOT, so:
+
+    - deviation rows with ``val < c_k`` get an extra specials min with the
+      true candidate (the bogus ``c_k + v[s]`` can never undercut it);
+    - deviation rows with ``val > c_k`` and real rows OUTSIDE the support
+      (the bogus candidate could be spuriously SMALL there) are fully
+      recomputed from scalar candidates — the same multiset the generic
+      bulk would produce at that row — and override ``acc[row]`` in the
+      specials write;
+    - padding rows (≥ states_num) receive a finite bogus candidate but
+      their per-step emission is ``BIG``, so they stay ≥ BIG_THRESHOLD
+      forever and keep mapping to +inf on extraction (they can only feed
+      back through +inf-padded operator entries).
+
+    Scores kernel only, like :func:`_plan_uniform_cols` (same tie-rule
+    argument). Returns ``(uni, fixes, recompute)`` or None:
+      uni       = ((s_k, c_k), …) per row component
+      fixes     = ((row, val, s_k), …) extra specials mins
+      recompute = ((row, ((dv_val, src), …), ((rv_val, s_m), …)), …)
+    """
+    if not sop.row_idx or not sop.diag_offsets:
+        return None
+    uni, fixes = [], []
+    recompute_rows: set[int] = set()
+    for k, s in enumerate(sop.row_idx):
+        row = sop.row_vals[k]
+        fin = np.nonzero(np.isfinite(row))[0]
+        if fin.size == 0:
+            return None
+        vals, counts = np.unique(row[fin], return_counts=True)
+        base = float(vals[np.argmax(counts)])
+        uni.append((int(s), base))
+        for j in fin:
+            if row[j] != base:
+                if row[j] < base:
+                    fixes.append((int(j), float(row[j]), int(s)))
+                else:
+                    recompute_rows.add(int(j))
+        recompute_rows |= set(range(sop.states_num)) - set(fin.tolist())
+    if len(fixes) + len(recompute_rows) > MAX_COL_EXTRAS:
+        return None
+    recompute = []
+    for r in sorted(recompute_rows):
+        dc = tuple(
+            (float(sop.diag_vals[k][r]), (r - d) % sop.n)
+            for k, d in enumerate(sop.diag_offsets)
+            if np.isfinite(sop.diag_vals[k][r])
+        )
+        rc = tuple(
+            (float(sop.row_vals[m][r]), int(sop.row_idx[m]))
+            for m in range(len(sop.row_idx))
+            if np.isfinite(sop.row_vals[m][r])
+        )
+        recompute.append((r, dc, rc))
+    return tuple(uni), tuple(fixes), tuple(recompute)
+
+
 def _make_unrolled_kernel(
     sop: StructuredOperator,
     masked: bool,
@@ -143,6 +207,7 @@ def _make_unrolled_kernel(
     t0: int,
     exact_em: bool = False,
     col_plan=None,
+    row_plan=None,
 ):
     """Unrolled kernel: ``unroll`` recurrence steps per grid iteration.
 
@@ -211,10 +276,16 @@ def _make_unrolled_kernel(
                 # wrap rows carry +inf in dv, so the wrap never contributes
                 dv_ref[:, k : k + 1] + pltpu.roll(v, d % n, axis=0)
                 for k, d in enumerate(diag_offsets)
-            ] + [
-                rv_ref[:, k : k + 1] + v[s : s + 1, :]
-                for k, s in enumerate(row_idx)
             ]
+            if row_plan is not None:
+                # uniform dense rows: one [1, B] scalar broadcast each —
+                # saves the full-width rv vector add (see _plan_uniform_rows)
+                bulk += [c_k + v[s_k : s_k + 1, :] for s_k, c_k in row_plan[0]]
+            else:
+                bulk += [
+                    rv_ref[:, k : k + 1] + v[s : s + 1, :]
+                    for k, s in enumerate(row_idx)
+                ]
             if bulk:
                 acc = bulk[0]
                 for cand in bulk[1:]:
@@ -243,13 +314,33 @@ def _make_unrolled_kernel(
                     specials.setdefault(c, []).append(cu)
             for s, d, k in residual:
                 specials.setdefault(d, []).append(resv_ref[0, k] + v[s : s + 1, :])
+            acc_over: dict[int, object] = {}
+            if row_plan is not None:
+                for row, val, s_k in row_plan[1]:  # true deviation mins
+                    specials.setdefault(row, []).append(val + v[s_k : s_k + 1, :])
+                for row, dcands, rcands in row_plan[2]:
+                    # rows the uniform broadcast may have undercut: rebuild
+                    # their bulk from the exact scalar candidate multiset
+                    r_acc = None
+                    for c_val, src in dcands:
+                        cand = c_val + v[src : src + 1, :]
+                        r_acc = cand if r_acc is None else jnp.minimum(r_acc, cand)
+                    for c_val, s_m in rcands:
+                        cand = c_val + v[s_m : s_m + 1, :]
+                        r_acc = cand if r_acc is None else jnp.minimum(r_acc, cand)
+                    if r_acc is None:
+                        r_acc = jnp.full((1, v.shape[1]), jnp.inf, dtype=v.dtype)
+                    acc_over[row] = r_acc
+                    specials.setdefault(row, [])
             for row, cands in specials.items():
-                extra = cands[0]
-                for cand in cands[1:]:
-                    extra = jnp.minimum(extra, cand)
-                val = em_sel[row : row + 1, :] + jnp.minimum(
-                    acc[row : row + 1, :], extra
+                extra = None
+                for cand in cands:
+                    extra = cand if extra is None else jnp.minimum(extra, cand)
+                base_acc = acc_over.get(row, acc[row : row + 1, :])
+                patched = (
+                    base_acc if extra is None else jnp.minimum(base_acc, extra)
                 )
+                val = em_sel[row : row + 1, :] + patched
                 if masked:
                     val = jnp.where(keep, val, v[row : row + 1, :])
                 o_ref[row : row + 1, :] = val
@@ -808,6 +899,9 @@ class FusedStructuredDecoder(_StreamAPI):
         plan = _plan_uniform_cols(sop)
         self._col_plan = plan[1] if plan else None
         self._cv_mask = jnp.asarray(plan[0]) if plan else None
+        # uniform-row decomposition (scores kernel only; exact min
+        # multiset — see _plan_uniform_rows)
+        self._row_plan = _plan_uniform_rows(sop)
         self.pi = jnp.asarray(pi)  # [Np]
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
@@ -911,7 +1005,7 @@ class FusedStructuredDecoder(_StreamAPI):
         steps, _, b = obs.shape
         grid = (b // BB, steps // unroll)
         kernel = _make_unrolled_kernel(
-            self.sop, masked, unroll, t0, exact_em, self._col_plan
+            self.sop, masked, unroll, t0, exact_em, self._col_plan, self._row_plan
         )
         em_in = self.em_clamped if exact_em else self.em_split
         em_spec = pl.BlockSpec(
