@@ -43,13 +43,13 @@ result, exercising the kill + salvage logic without a TPU
 
 The JSON line also prints the speed-of-light accounting for the headline:
 ``us_per_step`` (measured wall µs per 512-lane decode step) against
-``floor_us_per_step`` — the measured 3.33 µs/step irreducible quantum
-(carry read-modify-write + grid orchestration for 4×128-lane blocks;
-BASELINE.md combined-ablation table). ``floor_utilization`` =
-floor/measured: the fraction of each step that is the irreducible floor —
-the remaining fraction is VMEM-bandwidth-bound streaming measured at
-≈7.8 TB/s effective, so values ≈0.3 with ~11 µs/step mean the kernel sits
-at the bandwidth roofline, not at a tuning deficit.
+``floor_us_per_step`` — the measured 1.08 µs/step irreducible quantum
+(the unroll-4 empty kernel: carry read-modify-write + one add + store for
+4×128-lane blocks; round-5 roofline, ``bench_out/roofline.json``).
+``floor_utilization`` = floor/measured. The remainder is VPU-ISSUE-bound
+per-primitive passes (~0.62 µs per 128-lane block·pass), measured
+per-primitive in the roofline audit — the round-2 "VMEM-bandwidth
+roofline" reading was falsified there (BASELINE.md round-5 section).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -256,9 +256,12 @@ def main() -> int:
     value = max(results.get("structured", 0.0), results.get("dense", 0.0))
     vs = value / results["dense"] if results.get("dense") else None
     us_per_step = results.get("us_per_step")
-    # 3.33 µs/step: measured irreducible per-step quantum at 512 lanes
-    # (4 × 0.83 µs per 128-lane block·step — BASELINE.md ablation floor).
-    floor = 3.33
+    # Measured irreducible per-step quantum at 512 lanes / unroll 4: the
+    # empty kernel (carry RMW + one add + store per substep) costs
+    # 1.08 µs/step (round-5 roofline, bench_out/roofline.json
+    # micro_empty_u4; the round-2 figure of 3.33 was the unroll-2 empty
+    # with per-cell grid overhead unamortized).
+    floor = 1.08
     print(
         json.dumps(
             {
