@@ -46,10 +46,13 @@ The JSON line also prints the speed-of-light accounting for the headline:
 ``floor_us_per_step`` — the measured 1.08 µs/step irreducible quantum
 (the unroll-4 empty kernel: carry read-modify-write + one add + store for
 4×128-lane blocks; round-5 roofline, ``bench_out/roofline.json``).
-``floor_utilization`` = floor/measured. The remainder is VPU-ISSUE-bound
-per-primitive passes (~0.62 µs per 128-lane block·pass), measured
-per-primitive in the roofline audit — the round-2 "VMEM-bandwidth
-roofline" reading was falsified there (BASELINE.md round-5 section).
+``floor_utilization`` = floor/measured. The remainder is the kernel's
+structural latency (serialized substep dependency chain + MXU dot +
+grid/DMA), NOT removable VPU passes: a second, frame-shifted kernel
+with the roll and reduce passes eliminated measured 1.006× — parity
+(BASELINE.md round-5 section, ``bench_out/fs_kernel.json``). The
+round-2 "VMEM-bandwidth roofline" reading was falsified by the same
+audit chain.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """

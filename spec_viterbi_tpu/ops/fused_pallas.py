@@ -348,6 +348,132 @@ def _make_unrolled_kernel(
     return kernel
 
 
+def _make_fs_kernel(sop: StructuredOperator, unroll: int, col_plan, row_plan, shared):
+    """Frame-shifted unmasked scores kernel: zero per-substep rolls.
+
+    The per-substep ``pltpu.roll`` of the [Np, B] carry is a full VPU
+    relayout pass (~2.5 µs marginal at Np=2432, ``bench_out/
+    roofline.json`` slope_roll). For the single-diagonal operator class
+    (the ENTIRE Pfam corpus: one diag at offset 1 + uniform row/col
+    plans) the roll commutes with every elementwise op, so the carry can
+    live in a ROTATING frame instead: after substep ``u`` the buffer
+    holds ``vbuf[i] = v_true[(i + (u+1)·d) mod n]``, which makes the diag
+    candidate an ALIGNED add (``dv'[i] + vbuf[i]``) against per-substep
+    operand copies pre-rolled at build time (``_fs_operands``) — compile-
+    time data movement instead of runtime passes. One realignment roll
+    per GRID step (shift ``unroll·d``) restores the true frame, so the
+    carry crossing the pallas_call boundary is bit-compatible with every
+    other kernel; the roll cost amortizes by ``unroll``.
+
+    The shared column reduce (the other ~2.5 µs pass) is FOLDED into the
+    store chain: substep ``u`` computes the running min the NEXT substep
+    needs from ``v_new`` while it is in registers (one masked-add + one
+    min-accumulate instead of a standalone load+add+reduce pass), with
+    the handful of special rows excluded from the bulk mask and min-ed
+    back in from their final [1, B] values. Scratch carries the running
+    min across grid steps (re-seeded from the incoming carry at t==0).
+
+    Bit-exact vs ``_make_unrolled_kernel``: identical candidate multisets
+    and add/round order everywhere — the frame only permutes WHERE values
+    sit, and f32 min is exact, so the fold's re-ordered reduce is the
+    same value. Asserted array-equal in ``tests/test_fused.py``.
+    Unmasked only (a frozen lane would be stranded in a stale frame);
+    ``prepare`` compiles the mask out for uniform-length batches, which
+    is exactly the headline serving shape.
+    """
+    n = sop.n
+    d = sop.diag_offsets[0] % n
+
+    def kernel(v0_ref, dv_ref, em_ref, mask0_ref, excl_ref, seq_ref, o_ref, rmin_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            o_ref[:] = v0_ref[:]
+            # seed the running shared-column min from the incoming carry
+            # (true frame) — same values the base kernel's per-substep
+            # reduce would compute at its first step
+            rmin_ref[:] = jnp.min(
+                mask0_ref[:] + v0_ref[:], axis=0, keepdims=True
+            )
+
+        rows2 = em_ref.shape[2]  # 2·e_pad ([hi | lo] split)
+        e_pad = rows2 // 2
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows2, BB), 0)
+        sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
+
+        r_min = rmin_ref[:]
+        for u in range(unroll):
+            phi_in = (u * d) % n  # carry frame entering this substep
+            phi_out = ((u + 1) * d) % n  # frame of v_new / this substep's writes
+            oh_u = (sym_iota == seq_ref[u]).astype(jnp.bfloat16)
+            em_sel = jnp.dot(
+                em_ref[u], oh_u, preferred_element_type=jnp.float32
+            )  # [Np, B], table pre-rolled to phi_out
+            v = o_ref[:]
+            # diag candidate is ALIGNED in the rotating frame; uniform
+            # dense rows stay scalar broadcasts (shifted source index)
+            acc = dv_ref[u] + v
+            for s_k, c_k in row_plan[0]:
+                sb = (s_k - phi_in) % n
+                acc = jnp.minimum(acc, c_k + v[sb : sb + 1, :])
+            v_new = em_sel + acc
+            o_ref[:] = v_new
+
+            # specials: same candidate multiset as the base kernel, with
+            # every static state index mapped into the current frame
+            specials: dict[int, list] = {}
+            for target, base, extras in col_plan:
+                cand = base + r_min
+                for j, val in extras:
+                    jb = (j - phi_in) % n
+                    cand = jnp.minimum(cand, val + v[jb : jb + 1, :])
+                specials.setdefault(target, []).append(cand)
+            for row, val, s_k in row_plan[1]:
+                sb = (s_k - phi_in) % n
+                specials.setdefault(row, []).append(val + v[sb : sb + 1, :])
+            acc_over: dict[int, object] = {}
+            for row, dcands, rcands in row_plan[2]:
+                r_acc = None
+                for c_val, src in dcands:
+                    sb = (src - phi_in) % n
+                    cand = c_val + v[sb : sb + 1, :]
+                    r_acc = cand if r_acc is None else jnp.minimum(r_acc, cand)
+                for c_val, s_m in rcands:
+                    sb = (s_m - phi_in) % n
+                    cand = c_val + v[sb : sb + 1, :]
+                    r_acc = cand if r_acc is None else jnp.minimum(r_acc, cand)
+                if r_acc is None:
+                    r_acc = jnp.full((1, v.shape[1]), jnp.inf, dtype=v.dtype)
+                acc_over[row] = r_acc
+                specials.setdefault(row, [])
+
+            # folded reduce: bulk rows while v_new is live …
+            r_next = jnp.min(excl_ref[u] + v_new, axis=0, keepdims=True)
+            for row, cands in specials.items():
+                rb = (row - phi_out) % n
+                extra = None
+                for cand in cands:
+                    extra = cand if extra is None else jnp.minimum(extra, cand)
+                base_acc = acc_over.get(row, acc[rb : rb + 1, :])
+                patched = (
+                    base_acc if extra is None else jnp.minimum(base_acc, extra)
+                )
+                val = em_sel[rb : rb + 1, :] + patched
+                o_ref[rb : rb + 1, :] = val
+                # … special rows contribute their FINAL values
+                if row in shared:
+                    r_next = jnp.minimum(r_next, val)
+            r_min = r_next
+
+        rmin_ref[:] = r_min
+        phi_fin = (unroll * d) % n
+        if phi_fin:  # one realign roll per grid step (vs one per substep)
+            o_ref[:] = pltpu.roll(o_ref[:], phi_fin, axis=0)
+
+    return kernel
+
+
 def _make_path_kernel(sop: StructuredOperator, masked: bool):
     """Score+backpointer kernel: tracks (value, source-state) pairs.
 
@@ -902,6 +1028,32 @@ class FusedStructuredDecoder(_StreamAPI):
         # uniform-row decomposition (scores kernel only; exact min
         # multiset — see _plan_uniform_rows)
         self._row_plan = _plan_uniform_rows(sop)
+        # frame-shifted unmasked scores kernel (_make_fs_kernel): the
+        # single-diagonal + uniform-plan operator class — i.e. the whole
+        # Pfam corpus — trades the per-substep carry roll for pre-rolled
+        # operand copies and folds the shared reduce into the store chain
+        self._em_pad_np = em_pad  # [Np, e_pad] f32 (FS operand builds)
+        self._fs_ok = (
+            self._col_plan is not None
+            and self._row_plan is not None
+            and sop.residual_nnz == 0
+            and len(sop.diag_offsets) == 1
+            and sop.diag_offsets[0] % n != 0
+        )
+        self._fs_cache: dict[int, tuple] = {}
+        if self._fs_ok:
+            mask_np = np.asarray(plan[0])[:, 0]
+            self._fs_shared = frozenset(np.nonzero(mask_np == 0.0)[0].tolist())
+            srows = {t for t, _, _ in self._col_plan}
+            srows |= {r for r, _, _ in self._row_plan[1]}
+            srows |= {r for r, _, _ in self._row_plan[2]}
+            self._fs_special_rows = frozenset(srows)
+            # operand stacks must exist BEFORE any jit trace touches them
+            # (building jnp arrays inside a trace and caching them leaks
+            # tracers); every reachable unroll is the pinned depth or ≤4,
+            # plus each depth's possible tails
+            for u in range(1, max(4, unroll or 4) + 1):
+                self._fs_operands(u)
         self.pi = jnp.asarray(pi)  # [Np]
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
@@ -977,6 +1129,16 @@ class FusedStructuredDecoder(_StreamAPI):
         unroll = self._unroll_for(b)
         chunks, tail = divmod(t_steps, unroll)
         out = v0
+        if not masked and self._fs_ok:
+            # uniform-length batches (``prepare`` compiles the mask out)
+            # on the single-diagonal corpus class take the frame-shifted
+            # kernel: no per-substep roll, reduce folded — bit-identical
+            # output (tests/test_fused.py asserts array_equal vs base)
+            if chunks:
+                out = self._pallas_fs(out, obs[: chunks * unroll], unroll)
+            if tail:
+                out = self._pallas_fs(out, obs[chunks * unroll :], tail)
+            return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
         if chunks:
             out = self._pallas(
                 out, obs[: chunks * unroll], lengths, masked, unroll, 0
@@ -1050,6 +1212,77 @@ class FusedStructuredDecoder(_StreamAPI):
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(v0, self.dv, self.rv, cv_in, self.resv, em_in, obs, lengths)
+
+    def _fs_operands(self, unroll: int):
+        """Pre-rolled per-substep operand stacks for the frame-shifted
+        kernel (cached per unroll depth): after substep ``u`` the carry
+        frame is ``φ = (u+1)·d``, so every state-indexed operand the
+        substep touches ships as ``np.roll(·, −φ, axis=0)`` — compile-time
+        data movement replacing the runtime roll pass."""
+        ops = self._fs_cache.get(unroll)
+        if ops is not None:
+            return ops
+        n = self.n
+        d = self.sop.diag_offsets[0] % n
+        dv_col = np.asarray(self.dv)[:, 0:1]  # single diagonal
+        # folded-reduce bulk mask: shared rows MINUS the special-written
+        # rows (their final values are min-ed back in by the kernel)
+        excl_true = np.full((n, 1), np.inf, np.float32)
+        incl = sorted(self._fs_shared - self._fs_special_rows)
+        excl_true[incl, 0] = 0.0
+        dvs, ems, excls = [], [], []
+        for u in range(unroll):
+            phi = ((u + 1) * d) % n
+            dvs.append(np.roll(dv_col, -phi, axis=0))
+            ems.append(_split_em_cat(np.roll(self._em_pad_np, -phi, axis=0)))
+            excls.append(np.roll(excl_true, -phi, axis=0))
+        ops = (
+            jnp.asarray(np.stack(dvs)),
+            jnp.asarray(np.stack(ems)),
+            jnp.asarray(np.stack(excls)),
+        )
+        self._fs_cache[unroll] = ops
+        return ops
+
+    def _pallas_fs(self, v0, obs, unroll: int):
+        """Frame-shifted unmasked scores pass (see _make_fs_kernel)."""
+        n = self.n
+        steps, _, b = obs.shape
+        grid = (b // BB, steps // unroll)
+        dv_s, em_s, ex_s = self._fs_operands(unroll)
+        kernel = _make_fs_kernel(
+            self.sop, unroll, self._col_plan, self._row_plan, self._fs_shared
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (unroll, n, 1), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (unroll, n, 2 * self.e_pad),
+                    lambda i, t: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((n, 1), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (unroll, n, 1), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (unroll, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
+            # running shared-column min, carried across grid steps
+            scratch_shapes=[pltpu.VMEM((1, BB), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+            interpret=self.interpret,
+        )(v0, dv_s, em_s, self._cv_mask, ex_s, obs)
 
     def _path_pallas(self, v0, obs, lengths, masked: bool):
         """One path-kernel invocation: (v0 [Np,B], obs [T,1,B]) →

@@ -205,6 +205,58 @@ def test_fused_uniform_length_one_batch():
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
 
 
+def test_frame_shifted_kernel_bit_identical_to_base():
+    """The frame-shifted unmasked kernel (_make_fs_kernel) must emit the
+    EXACT same scores as the base kernel — same candidate multisets, f32
+    min is exact — across unroll depths, tails, and multi-block batches."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    assert fd._fs_ok
+    rng = np.random.default_rng(7)
+    # (lanes, length): tails of every residue at unroll 2 and 4, plus a
+    # multi-block batch that takes the deeper unroll
+    # (t=1 stays masked: the t_min padding step freezes, see prepare)
+    for b, t in ((2, 2), (3, 6), (5, 23), (130, 9), (1, 24)):
+        seqs = [
+            rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+            for _ in range(b)
+        ]
+        st, ln, masked = fd.prepare(seqs)
+        assert not masked  # uniform lengths compile the mask out
+        got = np.asarray(fd._jit_run(st, ln, masked=False, b_real=b))
+        # base kernel, forced via the masked path (mask never fires here)
+        base = np.asarray(fd._jit_run(st, ln, masked=True, b_real=b))
+        np.testing.assert_array_equal(got, base)
+        for g, s in zip(got, seqs):
+            assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), (b, t)
+
+
+def test_frame_shifted_kernel_deep_unroll_chain():
+    """unroll=4 main body + tail on a 512-lane batch: the realign roll,
+    the scratch-carried running min, and the main→tail frame handoff."""
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    sop = StructuredOperator.from_hmm(hmm)
+    fd = FusedStructuredDecoder(
+        sop,
+        hmm.emission_matrix(pad_to=sop.n),
+        hmm.start_vector(pad_to=sop.n),
+        interpret=True,
+        unroll=4,
+    )
+    assert fd._fs_ok
+    rng = np.random.default_rng(11)
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=15).astype(np.int32)
+        for _ in range(130)
+    ]
+    st, ln, masked = fd.prepare(seqs)
+    assert not masked
+    got = np.asarray(fd._jit_run(st, ln, masked=False, b_real=len(seqs)))
+    base = np.asarray(fd._jit_run(st, ln, masked=True, b_real=len(seqs)))
+    np.testing.assert_array_equal(got, base)
+    assert almost_equal_vec(got[17], viterbi_scores_oracle(hmm, seqs[17]))
+
+
 def test_fused_multi_block_batch_unrolled():
     """Batches over 128 lanes keep the unrolled kernel (round-1 dropped to
     unroll=1 for b != 128; the seq BlockSpec indexes per lane block)."""
