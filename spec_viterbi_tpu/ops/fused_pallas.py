@@ -1048,12 +1048,12 @@ class FusedStructuredDecoder(_StreamAPI):
             srows |= {r for r, _, _ in self._row_plan[1]}
             srows |= {r for r, _, _ in self._row_plan[2]}
             self._fs_special_rows = frozenset(srows)
-            # operand stacks must exist BEFORE any jit trace touches them
-            # (building jnp arrays inside a trace and caching them leaks
-            # tracers); every reachable unroll is the pinned depth or ≤4,
-            # plus each depth's possible tails
-            for u in range(1, max(4, unroll or 4) + 1):
-                self._fs_operands(u)
+            # host copy of the single diagonal for the operand builder
+            # (the stacks are cached as NUMPY — safe to build lazily even
+            # inside a jit trace, where a cached jnp array would leak its
+            # tracer; pallas_call lifts them as compile-time constants)
+            self._dv_np = np.full((n, 1), np.inf, dtype=MOD_PROB_DTYPE)
+            self._dv_np[:, 0] = sop.diag_vals[0]
         self.pi = jnp.asarray(pi)  # [Np]
         # streaming symbol uploads ride the narrowest dtype the alphabet
         # allows (int8 covers the whole amino-acid corpus)
@@ -1110,6 +1110,19 @@ class FusedStructuredDecoder(_StreamAPI):
             return self.unroll
         return 4 if b >= 4 * BB else 2
 
+    def _unroll_for_fs(self, b: int) -> int:
+        """Frame-shifted unroll depth: the FS kernel does less per-substep
+        VPU work, so grid machinery and the 1/unroll realign roll are a
+        larger fraction — unroll 8 measured +3% over 4 at b=512
+        (104.1 vs 101.1 M sym/s, ``bench_out/fs_unroll.json``; 10/12/16
+        were within noise of 8). Below full occupancy keep the base
+        tiers (deep unrolls don't amortize on few lane blocks)."""
+        if b % BB != 0:
+            return 1
+        if self.unroll is not None:
+            return self.unroll
+        return 8 if b >= 4 * BB else 2
+
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
 
@@ -1126,19 +1139,22 @@ class FusedStructuredDecoder(_StreamAPI):
         # multi-block batches (b = k·BB) unroll too: the seq BlockSpec
         # indexes (t, 0, i) so each lane block sees its own symbol stream
         # (validated vs oracle in interpret mode and on hardware)
-        unroll = self._unroll_for(b)
-        chunks, tail = divmod(t_steps, unroll)
-        out = v0
         if not masked and self._fs_ok:
             # uniform-length batches (``prepare`` compiles the mask out)
             # on the single-diagonal corpus class take the frame-shifted
             # kernel: no per-substep roll, reduce folded — bit-identical
             # output (tests/test_fused.py asserts array_equal vs base)
+            unroll = self._unroll_for_fs(b)
+            chunks, tail = divmod(t_steps, unroll)
+            out = v0
             if chunks:
                 out = self._pallas_fs(out, obs[: chunks * unroll], unroll)
             if tail:
                 out = self._pallas_fs(out, obs[chunks * unroll :], tail)
             return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
+        unroll = self._unroll_for(b)
+        chunks, tail = divmod(t_steps, unroll)
+        out = v0
         if chunks:
             out = self._pallas(
                 out, obs[: chunks * unroll], lengths, masked, unroll, 0
@@ -1224,7 +1240,6 @@ class FusedStructuredDecoder(_StreamAPI):
             return ops
         n = self.n
         d = self.sop.diag_offsets[0] % n
-        dv_col = np.asarray(self.dv)[:, 0:1]  # single diagonal
         # folded-reduce bulk mask: shared rows MINUS the special-written
         # rows (their final values are min-ed back in by the kernel)
         excl_true = np.full((n, 1), np.inf, np.float32)
@@ -1233,14 +1248,12 @@ class FusedStructuredDecoder(_StreamAPI):
         dvs, ems, excls = [], [], []
         for u in range(unroll):
             phi = ((u + 1) * d) % n
-            dvs.append(np.roll(dv_col, -phi, axis=0))
+            dvs.append(np.roll(self._dv_np, -phi, axis=0))
             ems.append(_split_em_cat(np.roll(self._em_pad_np, -phi, axis=0)))
             excls.append(np.roll(excl_true, -phi, axis=0))
-        ops = (
-            jnp.asarray(np.stack(dvs)),
-            jnp.asarray(np.stack(ems)),
-            jnp.asarray(np.stack(excls)),
-        )
+        # cached as NUMPY: trace-safe to build lazily inside jit (a cached
+        # jnp array would leak its tracer), lifted per-compile as constants
+        ops = (np.stack(dvs), np.stack(ems), np.stack(excls))
         self._fs_cache[unroll] = ops
         return ops
 

@@ -231,9 +231,11 @@ def test_frame_shifted_kernel_bit_identical_to_base():
             assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), (b, t)
 
 
-def test_frame_shifted_kernel_deep_unroll_chain():
-    """unroll=4 main body + tail on a 512-lane batch: the realign roll,
-    the scratch-carried running min, and the main→tail frame handoff."""
+@pytest.mark.parametrize("unroll", [4, 8])
+def test_frame_shifted_kernel_deep_unroll_chain(unroll):
+    """Deep-unroll main body + tail on a multi-block batch: the realign
+    roll, the scratch-carried running min, and the main→tail frame
+    handoff (unroll=8 is the adaptive FS depth at full occupancy)."""
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     sop = StructuredOperator.from_hmm(hmm)
     fd = FusedStructuredDecoder(
@@ -241,7 +243,7 @@ def test_frame_shifted_kernel_deep_unroll_chain():
         hmm.emission_matrix(pad_to=sop.n),
         hmm.start_vector(pad_to=sop.n),
         interpret=True,
-        unroll=4,
+        unroll=unroll,
     )
     assert fd._fs_ok
     rng = np.random.default_rng(11)
