@@ -172,11 +172,17 @@ def _fused_dp_stage(fd, seqs, mesh):
 
 
 def decode_batch_dp_fused(fd, seqs: list[np.ndarray], mesh: Mesh) -> list[np.ndarray]:
-    """Fused-kernel batched decode sharded over ``data``; score vectors."""
+    """Fused-kernel batched decode sharded over ``data``; score vectors.
+
+    Uniform-length batches compile the mask out — per shard that routes
+    the frame-shifted scores kernel (``fused_pallas._make_fs_kernel``),
+    so DP serving throughput tracks the single-chip headline kernel.
+    """
     if not seqs:
         return []
     seqs_t, lengths_d = _fused_dp_stage(fd, seqs, mesh)
-    scores_fn, _ = make_fused_dp(fd, mesh)
+    uniform = len({len(s) for s in seqs}) == 1 and len(seqs[0]) >= 2
+    scores_fn, _ = make_fused_dp(fd, mesh, masked=not uniform)
     v = fetch_global(scores_fn(seqs_t, lengths_d))  # [Np, B]
     return [v[: fd.states_num, i] for i in range(len(seqs))]
 

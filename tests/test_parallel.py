@@ -134,6 +134,12 @@ def test_fused_dp_scores_match_oracle(production_model, d):
     got = decode_batch_dp_fused(fd, seqs, mesh)
     for g, s in zip(got, seqs):
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+    # uniform lengths compile the mask out per shard → the frame-shifted
+    # kernel runs under shard_map; oracle parity must hold there too
+    useqs = [rng.integers(0, hmm.emit_num, size=21).astype(np.int32) for _ in range(3)]
+    got = decode_batch_dp_fused(fd, useqs, mesh)
+    for g, s in zip(got, useqs):
+        assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s))
 
 
 def test_fused_dp_paths_match_oracle(production_model):
