@@ -43,16 +43,18 @@ result, exercising the kill + salvage logic without a TPU
 
 The JSON line also prints the speed-of-light accounting for the headline:
 ``us_per_step`` (measured wall µs per 512-lane decode step) against
-``floor_us_per_step`` — the measured 1.08 µs/step irreducible quantum
-(the unroll-4 empty kernel: carry read-modify-write + one add + store for
-4×128-lane blocks; round-5 roofline, ``bench_out/roofline.json``).
-``floor_utilization`` = floor/measured. The remainder is the kernel's
-structural latency (serialized substep dependency chain + MXU dot +
-grid/DMA), NOT removable VPU passes: a second, frame-shifted kernel
-with the roll and reduce passes eliminated measured 1.006× — parity
-(BASELINE.md round-5 section, ``bench_out/fs_kernel.json``). The
-round-2 "VMEM-bandwidth roofline" reading was falsified by the same
-audit chain.
+``floor_us_per_step`` — the measured 1.89 µs/step irreducible quantum
+(the unroll-4 empty kernel at the production ONE-wide-512-lane-block
+grid: carry read-modify-write + one add + store per substep;
+``bench_out/fs_laneblock2.json`` empty_lb512_u4).
+``floor_utilization`` = floor/measured. What closed the gap to the
+floor: the 128-lane-block grid ran each block's whole time loop with
+zero ILP across blocks, so the serialized substep dependency chain +
+MXU latency dominated (the frame-shifted A/B proved the stall — a
+kernel with the roll and reduce passes eliminated measured 1.006×);
+one WIDE 512-lane block hands Mosaic 4 independent per-block chains
+per substep to interleave into those stalls (BASELINE.md round-5
+lane-block section, ``bench_out/fs_laneblock*.json``).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -259,12 +261,14 @@ def main() -> int:
     value = max(results.get("structured", 0.0), results.get("dense", 0.0))
     vs = value / results["dense"] if results.get("dense") else None
     us_per_step = results.get("us_per_step")
-    # Measured irreducible per-step quantum at 512 lanes / unroll 4: the
-    # empty kernel (carry RMW + one add + store per substep) costs
-    # 1.08 µs/step (round-5 roofline, bench_out/roofline.json
-    # micro_empty_u4; the round-2 figure of 3.33 was the unroll-2 empty
-    # with per-cell grid overhead unamortized).
-    floor = 1.08
+    # Measured irreducible per-step quantum at the production config —
+    # ONE 512-lane block / unroll 4: the empty kernel (carry RMW + one
+    # add + store per substep over the [Np, 512] block) costs
+    # 1.89 µs/step (bench_out/fs_laneblock2.json empty_lb512_u4; the
+    # 128-lane-block figure was 1.08 but the wide block quadruples the
+    # per-substep elementwise footprint while filling the dependency
+    # stalls — see BASELINE.md lane-block section).
+    floor = 1.89
     print(
         json.dumps(
             {

@@ -252,7 +252,9 @@ def _make_unrolled_kernel(
         # f32 table + HIGHEST instead
         e_pad = em_ref.shape[1] if exact_em else em_ref.shape[1] // 2
         rows = em_ref.shape[1]
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, BB), 0)
+        # lane width from the seq block (lane-block-width agnostic — wide
+        # blocks interleave independent per-block chains, see _pallas)
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, seq_ref.shape[2]), 0)
         if not exact_em:  # fold rows o and o + e_pad onto the same symbol
             sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
 
@@ -399,7 +401,11 @@ def _make_fs_kernel(sop: StructuredOperator, unroll: int, col_plan, row_plan, sh
 
         rows2 = em_ref.shape[2]  # 2·e_pad ([hi | lo] split)
         e_pad = rows2 // 2
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows2, BB), 0)
+        # lane width from the seq block: the FS kernel is lane-block-width
+        # agnostic (wider blocks give Mosaic independent per-block chains
+        # to interleave — see _pallas_fs lane_block)
+        lb = seq_ref.shape[2]
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows2, lb), 0)
         sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
 
         r_min = rmin_ref[:]
@@ -1110,18 +1116,35 @@ class FusedStructuredDecoder(_StreamAPI):
             return self.unroll
         return 4 if b >= 4 * BB else 2
 
-    def _unroll_for_fs(self, b: int) -> int:
-        """Frame-shifted unroll depth: the FS kernel does less per-substep
-        VPU work, so grid machinery and the 1/unroll realign roll are a
-        larger fraction — unroll 8 measured +3% over 4 at b=512
-        (104.1 vs 101.1 M sym/s, ``bench_out/fs_unroll.json``; 10/12/16
-        were within noise of 8). Below full occupancy keep the base
-        tiers (deep unrolls don't amortize on few lane blocks)."""
+    def _fs_plan_for(self, b: int) -> tuple[int, int]:
+        """(lane_block, unroll) for a frame-shifted decode of ``b`` lanes.
+
+        The kernel is latency-stall bound (the FS A/B at 128-lane blocks
+        measured 1.006× vs the base kernel despite far fewer VPU passes),
+        and the block-outer grid runs each block's whole time loop with
+        zero ILP across blocks. One WIDE block hands Mosaic
+        ``lane_block/128`` independent dependency chains per substep to
+        interleave into the stalls: measured at b=512
+        (``bench_out/fs_laneblock*.json``), 128→256→512-lane blocks run
+        5.47→3.25→2.55 µs/step — the 512-lane block is ~2× the committed
+        102–104M headline, bit-equal. unroll 4 beats 8 at the wide block
+        (2.43 vs 2.55; less VMEM pressure), while 8 wins at 128
+        (``fs_unroll.json``). Width is capped so the two [Np, lb] f32
+        blocks (carry in + out) stay within half the kernel's 64 MB
+        scoped-VMEM budget — only binding past ~8k states."""
         if b % BB != 0:
-            return 1
+            return BB, 1
+        lb = next(
+            (
+                w
+                for w in (512, 256)
+                if b % w == 0 and 2 * self.n * w * 4 <= 32 << 20
+            ),
+            BB,
+        )
         if self.unroll is not None:
-            return self.unroll
-        return 8 if b >= 4 * BB else 2
+            return lb, self.unroll
+        return lb, (4 if lb > BB else 8 if b >= 4 * BB else 2)
 
     def _scores_core(self, seqs_t, lengths, masked: bool) -> jax.Array:
         """State-major fused decode: [T, B] symbols → [Np, B] scores.
@@ -1143,14 +1166,15 @@ class FusedStructuredDecoder(_StreamAPI):
             # uniform-length batches (``prepare`` compiles the mask out)
             # on the single-diagonal corpus class take the frame-shifted
             # kernel: no per-substep roll, reduce folded — bit-identical
-            # output (tests/test_fused.py asserts array_equal vs base)
-            unroll = self._unroll_for_fs(b)
+            # output (tests/test_fused.py asserts array_equal vs base) —
+            # in WIDE lane blocks (independent chains fill the stalls)
+            lb, unroll = self._fs_plan_for(b)
             chunks, tail = divmod(t_steps, unroll)
             out = v0
             if chunks:
-                out = self._pallas_fs(out, obs[: chunks * unroll], unroll)
+                out = self._pallas_fs(out, obs[: chunks * unroll], unroll, lb)
             if tail:
-                out = self._pallas_fs(out, obs[chunks * unroll :], tail)
+                out = self._pallas_fs(out, obs[chunks * unroll :], tail, lb)
             return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
         unroll = self._unroll_for(b)
         chunks, tail = divmod(t_steps, unroll)
@@ -1177,11 +1201,12 @@ class FusedStructuredDecoder(_StreamAPI):
 
     def _pallas(
         self, v0, obs, lengths, masked: bool, unroll: int, t0: int,
-        exact_em: bool = False,
+        exact_em: bool = False, lane_block: int | None = None,
     ):
         n = self.n
         steps, _, b = obs.shape
-        grid = (b // BB, steps // unroll)
+        lb = lane_block or BB
+        grid = (b // lb, steps // unroll)
         kernel = _make_unrolled_kernel(
             self.sop, masked, unroll, t0, exact_em, self._col_plan, self._row_plan
         )
@@ -1196,7 +1221,7 @@ class FusedStructuredDecoder(_StreamAPI):
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
@@ -1211,13 +1236,13 @@ class FusedStructuredDecoder(_StreamAPI):
                 ),
                 em_spec,
                 pl.BlockSpec(
-                    (unroll, 1, BB),
+                    (unroll, 1, lb),
                     lambda i, t: (t, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
             # The default 16 MB scoped-VMEM budget is just under this
             # kernel's working set when Mosaic additionally decides to keep
@@ -1257,11 +1282,21 @@ class FusedStructuredDecoder(_StreamAPI):
         self._fs_cache[unroll] = ops
         return ops
 
-    def _pallas_fs(self, v0, obs, unroll: int):
-        """Frame-shifted unmasked scores pass (see _make_fs_kernel)."""
+    def _pallas_fs(self, v0, obs, unroll: int, lane_block: int | None = None):
+        """Frame-shifted unmasked scores pass (see _make_fs_kernel).
+
+        ``lane_block``: lanes per grid block (default ``BB``). The kernel
+        is latency-stall bound, not op bound (the FS A/B proved it), and
+        the default grid runs each 128-lane block's ENTIRE time loop
+        before the next block — zero ILP across the blocks' independent
+        dependency chains. A wider block (e.g. 512 = the whole serving
+        batch in ONE [Np, 512] VMEM block) hands Mosaic ``lane_block/128``
+        independent chains per substep to interleave into the stalls.
+        """
         n = self.n
         steps, _, b = obs.shape
-        grid = (b // BB, steps // unroll)
+        lb = lane_block or BB
+        grid = (b // lb, steps // unroll)
         dv_s, em_s, ex_s = self._fs_operands(unroll)
         kernel = _make_fs_kernel(
             self.sop, unroll, self._col_plan, self._row_plan, self._fs_shared
@@ -1270,7 +1305,7 @@ class FusedStructuredDecoder(_StreamAPI):
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (unroll, n, 1), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
                 ),
@@ -1284,15 +1319,15 @@ class FusedStructuredDecoder(_StreamAPI):
                     (unroll, n, 1), lambda i, t: (0, 0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (unroll, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                    (unroll, 1, lb), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM
+                (n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n, b), jnp.float32),
             # running shared-column min, carried across grid steps
-            scratch_shapes=[pltpu.VMEM((1, BB), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((1, lb), jnp.float32)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(v0, dv_s, em_s, self._cv_mask, ex_s, obs)

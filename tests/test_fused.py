@@ -216,7 +216,9 @@ def test_frame_shifted_kernel_bit_identical_to_base():
     # (lanes, length): tails of every residue at unroll 2 and 4, plus a
     # multi-block batch that takes the deeper unroll
     # (t=1 stays masked: the t_min padding step freezes, see prepare)
-    for b, t in ((2, 2), (3, 6), (5, 23), (130, 9), (1, 24)):
+    # 256 and 512 lanes take the WIDE lane blocks (lb256/lb512 — the
+    # stall-filling configuration, _fs_plan_for)
+    for b, t in ((2, 2), (3, 6), (5, 23), (130, 9), (1, 24), (256, 10), (512, 7)):
         seqs = [
             rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
             for _ in range(b)
