@@ -543,7 +543,11 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
         # paths bit-identical to viterbi_path_oracle — requires carries
         # that accumulate exactly like the oracle's
         e_pad = em_ref.shape[1]
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (e_pad, BB), 0)
+        # lane width from the seq block (lane-block-width agnostic — wide
+        # blocks interleave independent per-block chains, see _path_pallas)
+        sym_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (e_pad, seq_ref.shape[2]), 0
+        )
         oh = (sym_iota == seq_ref[0]).astype(jnp.float32)  # [e_pad, B]
         em_sel = jnp.dot(
             em_ref[:],
@@ -983,7 +987,7 @@ class FusedStructuredDecoder(_StreamAPI):
     ):
         # Unrolling amortizes grid overhead and batches the MXU one-hot
         # dot. ``unroll=None`` (default) adapts to the call's lane width
-        # (``_unroll_for``); an explicit int pins that depth exactly —
+        # (``_plan_for``); an explicit int pins that depth exactly —
         # the experiment scripts rely on the pin meaning what it says.
         # unroll=4 needs the raised scoped-VMEM limit (its ~17.4 MB
         # working set at Np≈2432 exceeds Mosaic's 16 MB default — see the
@@ -1103,18 +1107,35 @@ class FusedStructuredDecoder(_StreamAPI):
             self._path_block, static_argnames=("b_real",)
         )
 
-    def _unroll_for(self, b: int) -> int:
-        """Effective unroll for a ``b``-lane call: non-128-multiples can't
-        unroll (per-block symbol indexing); an explicitly pinned unroll is
-        honored; otherwise deep unrolling only pays when grid overhead
-        amortizes across many lane blocks — measured at Np=2432: unroll=4
-        is +5% over u2 at b=512 but −18% at b=128 (the wider per-cell
-        em_sel doesn't amortize on one block)."""
+    def _plan_for(self, b: int) -> tuple[int, int]:
+        """(lane_block, unroll) for a base-kernel call over ``b`` lanes.
+
+        Non-128-multiples can't unroll (per-block symbol indexing); an
+        explicitly pinned unroll is honored. The lane block follows the
+        FS kernel's stall-filling result (`_fs_plan_for`), re-measured on
+        the base kernel (`scripts/exp_base_laneblock.py` →
+        ``bench_out/base_laneblock.json``, b=512, Np=2432): one wide
+        [Np, 512] block runs 5.42→3.03 µs/step plain and 5.56→2.97
+        masked (u4 ≥ u2 at the wide block), bit-equal — same serialized
+        substep chain, same 4 independent per-128-lane dependency chains
+        for Mosaic to interleave. At lb=128 the measured tiers stand:
+        unroll 4 is +5% over u2 at b=512 but −18% at b=128 (the wider
+        per-cell em_sel doesn't amortize on one block)."""
         if b % BB != 0:
-            return 1
+            return BB, 1
+        lb = next(
+            (
+                w
+                for w in (512, 256)
+                if b % w == 0 and 2 * self.n * w * 4 <= 32 << 20
+            ),
+            BB,
+        )
         if self.unroll is not None:
-            return self.unroll
-        return 4 if b >= 4 * BB else 2
+            return lb, self.unroll
+        if lb > BB:
+            return lb, 4
+        return BB, (4 if b >= 4 * BB else 2)
 
     def _fs_plan_for(self, b: int) -> tuple[int, int]:
         """(lane_block, unroll) for a frame-shifted decode of ``b`` lanes.
@@ -1176,16 +1197,18 @@ class FusedStructuredDecoder(_StreamAPI):
             if tail:
                 out = self._pallas_fs(out, obs[chunks * unroll :], tail, lb)
             return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
-        unroll = self._unroll_for(b)
+        lb, unroll = self._plan_for(b)
         chunks, tail = divmod(t_steps, unroll)
         out = v0
         if chunks:
             out = self._pallas(
-                out, obs[: chunks * unroll], lengths, masked, unroll, 0
+                out, obs[: chunks * unroll], lengths, masked, unroll, 0,
+                lane_block=lb,
             )
         if tail:
             out = self._pallas(
-                out, obs[chunks * unroll :], lengths, masked, tail, chunks * unroll
+                out, obs[chunks * unroll :], lengths, masked, tail,
+                chunks * unroll, lane_block=lb,
             )
         return jnp.where(out >= BIG_THRESHOLD, jnp.inf, out)
 
@@ -1332,18 +1355,43 @@ class FusedStructuredDecoder(_StreamAPI):
             interpret=self.interpret,
         )(v0, dv_s, em_s, self._cv_mask, ex_s, obs)
 
-    def _path_pallas(self, v0, obs, lengths, masked: bool):
+    def _path_lb(self, b: int) -> int:
+        """Wide-lane-block selection for the path/backtrace kernels —
+        the scores kernels' stall-filling result (`_plan_for`) re-measured
+        on the path flow (`scripts/exp_path_laneblock.py` →
+        ``bench_out/path_laneblock.json``); the VMEM cap additionally
+        counts the [1, Np, lb] int16 src block these kernels stream."""
+        if b % BB != 0:
+            return BB
+        return next(
+            (
+                w
+                for w in (512, 256)
+                if b % w == 0 and (2 * 4 + 2) * self.n * w <= 32 << 20
+            ),
+            BB,
+        )
+
+    def _path_pallas(
+        self, v0, obs, lengths, masked: bool, lane_block: int | None = None
+    ):
         """One path-kernel invocation: (v0 [Np,B], obs [T,1,B]) →
         (carry_out [Np,B], src [T, Np, B] int16). Shared by the one-shot
-        path decode and the streaming finalize blocks."""
+        path decode and the streaming finalize blocks.
+
+        The lane block follows the scores kernels' stall-filling result:
+        the path kernel has the same block-outer grid and serialized
+        per-step dependency chain, so one wide [Np, lb] block hands
+        Mosaic lb/128 independent chains to interleave (`_path_lb`)."""
         n = self.n
         t_steps, _, b = obs.shape
+        lb = lane_block or self._path_lb(b)
         kernel = _make_path_kernel(self.sop, masked)
         return pl.pallas_call(
             kernel,
-            grid=(b // BB, t_steps),
+            grid=(b // lb, t_steps),
             in_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (n, self.dv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
@@ -1358,14 +1406,14 @@ class FusedStructuredDecoder(_StreamAPI):
                 ),
                 pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, 1, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                    (1, 1, lb), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((n, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, n, BB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+                    (1, n, lb), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
             ],
             out_shape=[
@@ -1378,29 +1426,32 @@ class FusedStructuredDecoder(_StreamAPI):
             interpret=self.interpret,
         )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
 
-    def _backtrace_pallas(self, src, last):
+    def _backtrace_pallas(self, src, last, lane_block: int | None = None):
         """Reverse per-lane walk: (src [T, Np, B], last [1, B]) →
         rev [T, B] int32 — rev[j] = state at the position src[j] leads
         into minus one (see _backtrace_kernel)."""
         n = self.n
         t_steps, _, b = src.shape
         t_rev = t_steps  # captured for the reversed index maps
+        # same wide-lane-block selection as _path_pallas (the walk's
+        # per-step select+reduce chain is serialized per lane block too)
+        lb = lane_block or self._path_lb(b)
         rev = pl.pallas_call(
             _backtrace_kernel,
-            grid=(b // BB, t_steps),
+            grid=(b // lb, t_steps),
             in_specs=[
                 pl.BlockSpec(
-                    (1, n, BB),
+                    (1, n, lb),
                     lambda i, t: (t_rev - 1 - t, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, BB), lambda i, t: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lb), lambda i, t: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, BB), lambda i, t: (t_rev - 1 - t, 0, i), memory_space=pltpu.VMEM
+                (1, 1, lb), lambda i, t: (t_rev - 1 - t, 0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((t_steps, 1, b), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((1, BB), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((1, lb), jnp.int32)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
         )(src, last)
@@ -1567,12 +1618,13 @@ class FusedStructuredDecoder(_StreamAPI):
         b = carry.shape[1]
         obs = chunk.astype(jnp.int32)[:, None, :]  # [T_q, 1, B]
         t_steps = obs.shape[0]
-        unroll = self._unroll_for(b)
+        lb, unroll = self._plan_for(b)
         chunks, tail = divmod(t_steps, unroll)
         out = carry
         if chunks:
             out = self._pallas(
-                out, obs[: chunks * unroll], lengths, True, unroll, 0, exact_em
+                out, obs[: chunks * unroll], lengths, True, unroll, 0,
+                exact_em, lane_block=lb,
             )
         if tail:
             out = self._pallas(
@@ -1583,6 +1635,7 @@ class FusedStructuredDecoder(_StreamAPI):
                 tail,
                 chunks * unroll,
                 exact_em,
+                lane_block=lb,
             )
         return out
 

@@ -176,7 +176,9 @@ def test_bench_py_all_modes_dead_is_the_only_failure():
     line = json.loads(out.strip().splitlines()[-1])
     assert line["value"] == 46.5e6
     assert line["vs_baseline"] == round(46.5e6 / 152e3, 3)
-    assert line["floor_utilization"] == round(1.08 / 11.0, 3)
+    # floor pinned in bench.py: the measured lb512/u4 empty kernel
+    # (bench_out/fs_laneblock2.json empty_lb512_u4)
+    assert line["floor_utilization"] == round(1.89 / 11.0, 3)
 
 
 def test_cli_info_and_sum_dat(tmp_path, capsys):

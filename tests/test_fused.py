@@ -278,14 +278,17 @@ def test_fused_multi_block_batch_unrolled():
 
 
 def test_fused_unroll4_width_gate():
-    """b >= 512 lanes runs the deep-unroll (u4) kernel variant; narrower
-    calls drop to u2 (measured faster below 4 blocks — `_unroll_for`).
-    Pins the u4 code path in CI with a 512-lane oracle check."""
+    """b >= 256 lanes runs ONE wide lane block at unroll 4 (the
+    stall-filling grid, `_plan_for` / exp_base_laneblock.py); 128-lane
+    multiples below that keep the measured u2 tier and non-multiples
+    drop to (128, 1). Pins the wide-block u4 code path in CI with a
+    512-lane oracle check."""
     hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
     fd = _fused_for(hmm)
-    assert fd._unroll_for(512) == 4
-    assert fd._unroll_for(256) == 2
-    assert fd._unroll_for(130) == 1
+    assert fd._plan_for(512) == (512, 4)
+    assert fd._plan_for(256) == (256, 4)
+    assert fd._plan_for(128) == (128, 2)
+    assert fd._plan_for(130) == (128, 1)
     rng = np.random.default_rng(17)
     # 500 ragged sequences -> 512 lanes (4 blocks): u4 with a tail step
     seqs = [
@@ -295,6 +298,37 @@ def test_fused_unroll4_width_gate():
     got = fd.decode_batch(seqs, bucketed=False)
     for g, s in zip(got[::37], seqs[::37]):
         assert almost_equal_vec(g, viterbi_scores_oracle(hmm, s)), len(s)
+
+
+def test_path_kernel_wide_lane_block_bit_identical():
+    """The path/backtrace kernels route wide lane blocks at b >= 256
+    (`_path_lb` — the stall-filling grid). Paths must stay bit-identical
+    to the oracle across widths: run 256 lanes (one 256-wide block) and
+    assert backpointer paths and scores vs lb=128 AND the oracle."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    assert fd._path_lb(256) == 256
+    assert fd._path_lb(128) == 128
+    assert fd._path_lb(130) == 128
+    rng = np.random.default_rng(21)
+    seqs = [
+        rng.integers(0, hmm.emit_num, size=12).astype(np.int32)
+        for _ in range(256)
+    ]
+    st, ln, masked = fd.prepare(seqs)
+    v0 = fd.em_clamped[:, :].take(st[0], axis=1) + fd.pi[:, None]
+    obs = st[1:, None, :]
+    wide = fd._path_pallas(v0, obs, ln, masked)
+    narrow = fd._path_pallas(v0, obs, ln, masked, lane_block=128)
+    assert np.array_equal(np.asarray(wide[0]), np.asarray(narrow[0]))
+    assert np.array_equal(np.asarray(wide[1]), np.asarray(narrow[1]))
+    got = fd.decode_path_batch(seqs)
+    for (scores, path), s in zip(got[::61], seqs[::61]):
+        oscores, opath = viterbi_path_oracle(hmm, s)
+        assert almost_equal_vec(scores, oscores)
+        assert np.array_equal(path, opath)
 
 
 def test_fused_ragged_lengths_frozen_lanes():
