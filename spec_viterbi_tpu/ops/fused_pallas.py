@@ -208,6 +208,7 @@ def _make_unrolled_kernel(
     exact_em: bool = False,
     col_plan=None,
     row_plan=None,
+    exact_parts: int = 1,
 ):
     """Unrolled kernel: ``unroll`` recurrence steps per grid iteration.
 
@@ -218,7 +219,11 @@ def _make_unrolled_kernel(
     unrolled main body). ``exact_em``: take the [Np, e_pad] f32 table and
     a precision=HIGHEST dot instead of the bf16 hi/lo split — required
     when this kernel advances carries that a PATH kernel will re-run from
-    (see the module docstring's precision note). ``col_plan``: the
+    (see the module docstring's precision note); with ``exact_parts=3``
+    the exact flow instead takes the [Np, 3·e_pad] bf16 ``[hi|mid|lo]``
+    split whose bit-exactness :func:`_split_em_cat3` PROVED for this
+    table — same exactness, one narrow bf16 dot instead of Mosaic's
+    6-pass HIGHEST decomposition. ``col_plan``: the
     uniform-column decomposition from :func:`_plan_uniform_cols`'s
     entries — the caller then supplies the shared [n, 1] reduce mask AS
     the ``cv`` input (one masked reduce replaces every per-col reduce,
@@ -250,16 +255,18 @@ def _make_unrolled_kernel(
         # ~1/3 the cost of one precision=HIGHEST dot and zero extra VPU
         # passes (module docstring); exact_em flows get the [Np, e_pad]
         # f32 table + HIGHEST instead
-        e_pad = em_ref.shape[1] if exact_em else em_ref.shape[1] // 2
+        parts = exact_parts if exact_em else 2
+        use_highest = exact_em and parts == 1
+        e_pad = em_ref.shape[1] // parts
         rows = em_ref.shape[1]
         # lane width from the seq block (lane-block-width agnostic — wide
         # blocks interleave independent per-block chains, see _pallas)
         sym_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, seq_ref.shape[2]), 0)
-        if not exact_em:  # fold rows o and o + e_pad onto the same symbol
+        for _ in range(parts - 1):  # fold rows o + k·e_pad onto symbol o
             sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
 
         for u in range(unroll):
-            if exact_em:
+            if use_highest:
                 oh_u = (sym_iota == seq_ref[u]).astype(jnp.float32)
                 em_sel = jnp.dot(
                     em_ref[:],
@@ -480,7 +487,7 @@ def _make_fs_kernel(sop: StructuredOperator, unroll: int, col_plan, row_plan, sh
     return kernel
 
 
-def _make_path_kernel(sop: StructuredOperator, masked: bool):
+def _make_path_kernel(sop: StructuredOperator, masked: bool, em_parts: int = 1):
     """Score+backpointer kernel: tracks (value, source-state) pairs.
 
     Tie-breaking is the framework contract — globally lowest source index,
@@ -489,6 +496,11 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
     source per state as int16 (states ≤ 32767); backtrace is then a cheap
     per-lane gather scan outside the kernel. Frozen (masked) steps store
     identity pointers so backtrace through padding is a no-op.
+
+    ``em_parts=3``: select from the [Np, 3·e_pad] bf16 ``[hi|mid|lo]``
+    table whose bit-exact reconstruction :func:`_split_em_cat3` proved —
+    identical carries/ties to the ``precision=HIGHEST`` f32 dot
+    (``em_parts=1``) at a fraction of its 6-pass MXU cost.
     """
     diag_offsets = sop.diag_offsets
     row_idx = sop.row_idx
@@ -538,23 +550,30 @@ def _make_path_kernel(sop: StructuredOperator, masked: bool):
             u = jnp.full(v.shape, jnp.inf, dtype=v.dtype)
             src = jnp.full(v.shape, 2**30, jnp.int32)
 
-        # exact HIGHEST selection (NOT the scores kernel's bf16 split):
+        # EXACT selection (NOT the scores kernel's 16-bit hi/lo split):
         # equal-cost Viterbi ties are real, and the tie-break contract —
         # paths bit-identical to viterbi_path_oracle — requires carries
-        # that accumulate exactly like the oracle's
-        e_pad = em_ref.shape[1]
+        # that accumulate exactly like the oracle's. Exactness comes from
+        # either the HIGHEST f32 dot or the proved bf16 [hi|mid|lo] split.
+        e_pad = em_ref.shape[1] // em_parts
         # lane width from the seq block (lane-block-width agnostic — wide
         # blocks interleave independent per-block chains, see _path_pallas)
         sym_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (e_pad, seq_ref.shape[2]), 0
+            jnp.int32, (em_ref.shape[1], seq_ref.shape[2]), 0
         )
-        oh = (sym_iota == seq_ref[0]).astype(jnp.float32)  # [e_pad, B]
-        em_sel = jnp.dot(
-            em_ref[:],
-            oh,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        for _ in range(em_parts - 1):  # fold rows o + k·e_pad onto symbol o
+            sym_iota = jnp.where(sym_iota >= e_pad, sym_iota - e_pad, sym_iota)
+        if em_parts == 1:
+            oh = (sym_iota == seq_ref[0]).astype(jnp.float32)  # [e_pad, B]
+            em_sel = jnp.dot(
+                em_ref[:],
+                oh,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            oh = (sym_iota == seq_ref[0]).astype(jnp.bfloat16)
+            em_sel = jnp.dot(em_ref[:], oh, preferred_element_type=jnp.float32)
         v_new = em_sel + u
         src_out = jnp.where((src == 2**30) | (u >= BIG_THRESHOLD), 0, src)
         if masked:
@@ -599,6 +618,55 @@ def _split_em_cat(em_pad: np.ndarray) -> np.ndarray:
     em_hi = em_pad.astype(jnp.bfloat16)
     em_lo = (em_pad - np.asarray(em_hi, np.float32)).astype(jnp.bfloat16)
     return np.concatenate([np.asarray(em_hi), np.asarray(em_lo)], axis=1)
+
+
+def _split_em_cat3(em_pad: np.ndarray):
+    """[Np, e] f32 → ([Np, 3e] bf16 ``[hi | mid | lo]``, proved_exact).
+
+    Three successive bf16 residuals cover f32's full 24-bit mantissa, so a
+    TRIPLED one-hot selection reconstructs the f32 table entry EXACTLY —
+    this is the ``Precision.HIGH`` (bf16x3) emulation, legal here because
+    a one-hot dot has no cross-products (the general case needs 6 passes;
+    Mosaic refuses to lower HIGH itself). Exactness is PROVED on the host
+    against this specific table: the MXU's f32 accumulator may add the
+    three selected products in any order (zeros interleave freely), so we
+    require every partial sum it could form — each pair and the total —
+    to be exactly representable in f32 (float64 cross-check). The parts
+    are extracted by TRUNCATION, not round-to-nearest: RN residuals can
+    leave hi+lo spanning 25 bits (a carry pushes hi past x's exponent —
+    observed on random tables), while truncation gives each part a
+    disjoint 8-bit range of the 24-bit mantissa, so every partial sum is
+    a bit-masked piece of x and representable in ANY order. If an entry
+    still fails (subnormal corners), the caller falls back to the
+    ``precision=HIGHEST`` f32 dot (~3.5× the MXU cost at the production
+    shape)."""
+
+    def trunc(x):  # f32 → nearest bf16-representable value toward zero
+        return (x.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+
+    hi_f = trunc(em_pad)
+    r1 = em_pad - hi_f
+    mid_f = trunc(r1)
+    r2 = r1 - mid_f
+    hi = hi_f.astype(jnp.bfloat16)  # exact: values are bf16-representable
+    mid = mid_f.astype(jnp.bfloat16)
+    lo = trunc(r2).astype(jnp.bfloat16)
+    h, m, l = (np.asarray(x, np.float32) for x in (hi, mid, lo))
+    h64, m64, l64 = (x.astype(np.float64) for x in (h, m, l))
+    pairs_exact = all(
+        np.array_equal((a + b).astype(np.float64), a64 + b64)
+        for (a, b, a64, b64) in (
+            (h, m, h64, m64),
+            (h, l, h64, l64),
+            (m, l, m64, l64),
+        )
+    )
+    totals_exact = all(
+        np.array_equal(total, em_pad)
+        for total in ((h + m) + l, (h + l) + m, (m + l) + h)
+    )
+    em3 = np.concatenate([np.asarray(hi), np.asarray(mid), np.asarray(lo)], axis=1)
+    return em3, bool(pairs_exact and totals_exact)
 
 
 def _quantize_total(n: int) -> int:
@@ -1030,6 +1098,13 @@ class FusedStructuredDecoder(_StreamAPI):
         # hi + lo reconstructs em_pad to 16 mantissa bits (BIG survives
         # the split ≥ BIG_THRESHOLD); see the module docstring
         self.em_split = jnp.asarray(_split_em_cat(em_pad))  # [Np, 2·e_pad]
+        # exact bf16 [hi | mid | lo] split for PATH-producing flows: full
+        # 24-bit mantissa reconstruction, proved bit-exact on the host for
+        # this table (any MXU accumulation order); falls back to the
+        # precision=HIGHEST f32 dot if the proof fails
+        em3, em3_ok = _split_em_cat3(em_pad)
+        self._em3_ok = em3_ok
+        self.em_exact3 = jnp.asarray(em3) if em3_ok else None  # [Np, 3·e_pad]
         # uniform-column decomposition (scores kernel only; bit-exact):
         # the shared [n, 1] reduce mask replaces cv as the kernel input
         plan = _plan_uniform_cols(sop)
@@ -1230,12 +1305,17 @@ class FusedStructuredDecoder(_StreamAPI):
         steps, _, b = obs.shape
         lb = lane_block or BB
         grid = (b // lb, steps // unroll)
+        exact_parts = 3 if (exact_em and self._em3_ok) else 1
         kernel = _make_unrolled_kernel(
-            self.sop, masked, unroll, t0, exact_em, self._col_plan, self._row_plan
+            self.sop, masked, unroll, t0, exact_em, self._col_plan, self._row_plan,
+            exact_parts,
         )
-        em_in = self.em_clamped if exact_em else self.em_split
+        if exact_em:
+            em_in = self.em_exact3 if self._em3_ok else self.em_clamped
+        else:
+            em_in = self.em_split
         em_spec = pl.BlockSpec(
-            (n, self.e_pad if exact_em else 2 * self.e_pad),
+            (n, em_in.shape[1]),
             lambda i, t: (0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -1386,7 +1466,8 @@ class FusedStructuredDecoder(_StreamAPI):
         n = self.n
         t_steps, _, b = obs.shape
         lb = lane_block or self._path_lb(b)
-        kernel = _make_path_kernel(self.sop, masked)
+        em_in = self.em_exact3 if self._em3_ok else self.em_clamped
+        kernel = _make_path_kernel(self.sop, masked, 3 if self._em3_ok else 1)
         return pl.pallas_call(
             kernel,
             grid=(b // lb, t_steps),
@@ -1404,7 +1485,9 @@ class FusedStructuredDecoder(_StreamAPI):
                 pl.BlockSpec(
                     (1, self.resv.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((n, self.e_pad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n, em_in.shape[1]), lambda i, t: (0, 0), memory_space=pltpu.VMEM
+                ),
                 pl.BlockSpec(
                     (1, 1, lb), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
                 ),
@@ -1424,7 +1507,7 @@ class FusedStructuredDecoder(_StreamAPI):
             # can be kept fully resident by Mosaic — see note there)
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=self.interpret,
-        )(v0, self.dv, self.rv, self.cv, self.resv, self.em_clamped, obs, lengths)
+        )(v0, self.dv, self.rv, self.cv, self.resv, em_in, obs, lengths)
 
     def _backtrace_pallas(self, src, last, lane_block: int | None = None):
         """Reverse per-lane walk: (src [T, Np, B], last [1, B]) →

@@ -368,3 +368,53 @@ def test_whole_batch_path_budget_refusal():
             fd.decode_path_batch(seqs, bucketed=False)
     finally:
         fd.MAX_PATH_BYTES = old
+
+
+def test_em_split3_proof_and_exact_reconstruction():
+    """_split_em_cat3 must PROVE bit-exact any-order reconstruction for
+    corpus-shaped tables (incl. BIG padding entries), and the decoder must
+    select it for path flows (module docstring precision note)."""
+    from spec_viterbi_tpu.ops.fused_pallas import BIG, BIG_THRESHOLD, _split_em_cat3
+
+    hmm = read_hmm(os.path.join(CHMM_DIR, "100.chmm"))
+    fd = _fused_for(hmm)
+    assert fd._em3_ok and fd.em_exact3 is not None
+    assert fd.em_exact3.shape == (fd.n, 3 * fd.e_pad)
+
+    rng = np.random.default_rng(11)
+    table = rng.uniform(0.0, 60.0, size=(256, 32)).astype(np.float32)
+    table[:, 20:] = BIG
+    table[rng.uniform(size=table.shape) < 0.05] = BIG
+    em3, ok = _split_em_cat3(table)
+    assert ok
+    e = table.shape[1]
+    h, m, l = (em3[:, i * e : (i + 1) * e].astype(np.float32) for i in range(3))
+    rec = (h + m) + l
+    assert np.array_equal(rec, table)
+    assert np.all(rec[table >= BIG_THRESHOLD] >= BIG_THRESHOLD)
+
+
+def test_path_kernel_bf16x3_bit_identical_to_highest():
+    """The proved bf16 [hi|mid|lo] path selection must give carries, ties
+    and paths BIT-identical to the precision=HIGHEST dot it replaces."""
+    from spec_viterbi_tpu.models.oracle import viterbi_path_oracle
+
+    for name, td in (("100.chmm", CHMM_DIR), ("3_test_chmm.chmm", TEST_CHMMS)):
+        hmm = read_hmm(os.path.join(td, name))
+        fd3 = _fused_for(hmm)
+        fd1 = _fused_for(hmm)
+        fd1._em3_ok = False  # force the HIGHEST fallback on one instance
+        assert fd3._em3_ok
+        rng = np.random.default_rng(13)
+        seqs = [
+            rng.integers(0, hmm.emit_num, size=t).astype(np.int32)
+            for t in (5, 33, 64)
+        ]
+        got3 = fd3.decode_path_batch(seqs)
+        got1 = fd1.decode_path_batch(seqs)
+        for (s3, p3), (s1, p1), s in zip(got3, got1, seqs):
+            assert np.array_equal(s3, s1), (name, len(s))
+            assert np.array_equal(p3, p1), (name, len(s))
+            oscores, opath = viterbi_path_oracle(hmm, s)
+            assert np.array_equal(p3, opath), (name, len(s))
+            assert almost_equal_vec(s3, oscores), (name, len(s))
